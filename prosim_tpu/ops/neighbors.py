@@ -1,0 +1,76 @@
+"""Fixed-K neighbor selection over padded token grids.
+
+TPU-native replacement for torch_cluster's `radius`, `radius_graph`, `knn`,
+`knn_graph` (reference call sites: prosim/models/scene_encoder/attn_fusion.py:107-109,
+prosim/models/decoder/sym_coord.py:86-97, prosim/models/policy/act_decoder.py:249-262).
+
+Instead of variable-length edge lists we return `[B, Q, K]` neighbor indices +
+validity masks with fully static shapes: masked pairwise squared distances,
+optional radius cut, then `lax.top_k` of the negated distances. Within-radius
+neighbors are the K *nearest* (deterministic), which is a strict refinement of
+torch_cluster's arbitrary max_num_neighbors truncation.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.inf
+
+
+@partial(jax.jit, static_argnames=("k", "exclude_self"))
+def neighbor_topk(
+    dst_pos,
+    src_pos,
+    dst_mask,
+    src_mask,
+    k: int,
+    radius: float | None = None,
+    exclude_self: bool = False,
+):
+    """Select up to k nearest valid sources for each destination.
+
+    Args:
+      dst_pos: [B, Q, 2] float query positions.
+      src_pos: [B, S, 2] float source positions.
+      dst_mask: [B, Q] bool valid destinations.
+      src_mask: [B, S] bool valid sources.
+      k: static neighbor count (k <= S).
+      radius: optional cutoff; sources farther than this are invalid.
+      exclude_self: drop the diagonal (requires Q == S, same token set).
+
+    Returns:
+      idx: [B, Q, K] int32 source indices (arbitrary where invalid).
+      valid: [B, Q, K] bool - neighbor validity.
+    """
+    d2 = jnp.sum(
+        (dst_pos[:, :, None, :] - src_pos[:, None, :, :]) ** 2, axis=-1
+    )  # [B, Q, S]
+    bad = ~(src_mask[:, None, :] & dst_mask[:, :, None])
+    if radius is not None:
+        bad = bad | (d2 > radius * radius)
+    if exclude_self:
+        q = dst_pos.shape[1]
+        eye = jnp.eye(q, d2.shape[-1], dtype=bool)
+        bad = bad | eye[None]
+    d2 = jnp.where(bad, _INF, d2)
+    # Configs may request more neighbors than there are source slots
+    # (e.g. MAX_NUM_NEIGH=512 vs 128 prompt tokens); clamp the selection and
+    # pad back out to K with invalid entries so output shapes stay static.
+    s = d2.shape[-1]
+    eff_k = min(k, s)
+    neg_d, idx = jax.lax.top_k(-d2, eff_k)
+    valid = neg_d > -_INF
+    if eff_k < k:
+        pad = k - eff_k
+        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, pad)))
+        valid = jnp.pad(valid, ((0, 0), (0, 0), (0, pad)))
+    return idx.astype(jnp.int32), valid
+
+
+def gather_neighbors(src, idx):
+    """Gather per-neighbor features: src [B, S, ...], idx [B, Q, K] -> [B, Q, K, ...]."""
+    return jnp.take_along_axis(
+        src[:, None], idx[(...,) + (None,) * (src.ndim - 2)], axis=2
+    )

@@ -1,0 +1,47 @@
+import pytest
+
+from prosim_tpu.config import get_config, get_default_config
+
+
+def test_defaults_build():
+    cfg = get_config()
+    assert cfg.MODEL.HIDDEN_DIM == 128
+    assert cfg.ROLLOUT.POLICY.REPLAN_FREQ == 10
+    assert cfg.is_frozen()
+
+
+def test_pred_vel_fixup_appends_velocity_elements():
+    cfg = get_config()
+    # demo architecture predicts velocity -> target elements gain xd, yd
+    assert cfg.DATASET.FORMAT.TARGET.ELEMENTS == "x,y,h,xd,yd"
+
+
+def test_fixup_without_pred_vel():
+    cfg = get_config(opts=["MODEL.POLICY.ACT_DECODER.TRAJ.PRED_VEL", "False"])
+    assert cfg.DATASET.FORMAT.TARGET.ELEMENTS == "x,y,h"
+
+
+def test_merge_from_list_and_types():
+    cfg = get_config(opts=["MODEL.HIDDEN_DIM", "64", "TRAIN.LR", "0.001"])
+    assert cfg.MODEL.HIDDEN_DIM == 64
+    assert cfg.TRAIN.LR == pytest.approx(1e-3)
+
+
+def test_frozen_rejects_mutation():
+    cfg = get_config()
+    with pytest.raises(AttributeError):
+        cfg.MODEL.HIDDEN_DIM = 3
+
+
+def test_unknown_key_rejected():
+    cfg = get_default_config()
+    with pytest.raises(KeyError):
+        cfg.merge_from_list(["MODEL.NO_SUCH_KEY", "1"])
+
+
+def test_yaml_merge(tmp_path):
+    yaml_file = tmp_path / "exp.yaml"
+    yaml_file.write_text("MODEL:\n  HIDDEN_DIM: 256\nTRAIN:\n  BATCH_SIZE: 4\n")
+    cfg = get_config(str(yaml_file))
+    assert cfg.MODEL.HIDDEN_DIM == 256
+    assert cfg.TRAIN.BATCH_SIZE == 4
