@@ -1,0 +1,85 @@
+"""Benchmark: full 8 s closed-loop scene rollouts per second on one chip.
+
+Runs the flagship ProSim model (demo architecture: 6-layer encoders, 128-dim,
+2048 map polylines, 128 policy agents, 8 replan steps) on synthetic
+demo-shaped batches and measures steady-state jitted throughput.
+
+Prints ONE JSON line. `vs_baseline` compares against the per-chip share of
+the BASELINE.json target (>=100 scene rollouts/sec on a v5e-8 => 12.5 per
+chip).
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import jax
+
+TARGET_PER_CHIP = 100.0 / 8.0  # BASELINE.json: >=100 scenes/s on v5e-8
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lanes", type=int, default=2048)
+    ap.add_argument("--obs-agents", type=int, default=160)
+    ap.add_argument("--agents", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    from prosim_tpu.config import get_config
+    from prosim_tpu.data.synthetic import make_synthetic_batch
+    from prosim_tpu.models.prosim import ProSim
+    import jax.numpy as jnp
+
+    config = get_config(opts=[
+        "DATASET.FORMAT.PAD.NUM_LANES", str(args.lanes),
+        "DATASET.FORMAT.PAD.NUM_OBS_AGENTS", str(args.obs_agents),
+        "DATASET.FORMAT.PAD.NUM_AGENTS", str(args.agents),
+        "MODEL.DTYPE", args.dtype,
+    ])
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = ProSim(config, dtype=dtype)
+    batch = make_synthetic_batch(
+        config,
+        batch_size=args.batch,
+        num_lanes=args.lanes,
+        num_obs_agents=args.obs_agents,
+        num_agents=args.agents,
+        num_replan=8,
+    )
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    fwd = jax.jit(lambda p, b, k: model.forward(p, b, "rollout", k)["rollout_traj"])
+    key = jax.random.PRNGKey(1)
+
+    out = fwd(params, batch, key)
+    jax.block_until_ready(out)  # compile + warmup
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        out = fwd(params, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    scenes_per_sec = args.batch * args.iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "closed_loop_scene_rollouts_per_sec_per_chip",
+                "value": round(scenes_per_sec, 3),
+                "unit": "scenes/s",
+                "vs_baseline": round(scenes_per_sec / TARGET_PER_CHIP, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

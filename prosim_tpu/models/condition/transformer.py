@@ -1,0 +1,132 @@
+"""Condition transformer: dispatcher over condition types.
+
+Splits configured condition types into non-text vs text ('*OneText') groups,
+encodes each, fuses non-text conditions into prompt tokens via GNN attention
+and then applies the text attention
+(reference: prosim/models/condition_transformer/base.py:6-61).
+"""
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from prosim_tpu.core.registry import registry
+from prosim_tpu.data.batch import Condition, Prompt
+from prosim_tpu.models.condition.attn import GNNConditionAttn
+from prosim_tpu.models.condition.encoders import (
+    DragPointEncoder,
+    GoalConditionEncoder,
+    V2VTagEncoder,
+    VActionTagEncoder,
+)
+from prosim_tpu.models.condition.text import BagOfTokensTextAttn, NoTextAttn
+
+
+class ConditionTransformer(nn.Module):
+    hidden_dim: int
+    cond_types: tuple      # non-text types
+    text_types: tuple      # '*OneText' types
+    num_layers: int
+    num_heads: int
+    head_dim: int
+    num_tags: int
+    pool: str = "mean"
+    use_temporal_pe: bool = True
+    text_attn_type: str = "none"
+    drag_num_points: int = 8
+    drag_pre_layers: int = 1
+    drag_mlp_layers: int = 3
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        encs = {}
+        for t in self.cond_types:
+            if t == "goal":
+                encs[t] = GoalConditionEncoder(
+                    self.hidden_dim, self.use_temporal_pe, dtype=self.dtype
+                )
+            elif t == "v_action_tag":
+                encs[t] = VActionTagEncoder(
+                    self.hidden_dim, self.num_tags,
+                    use_temporal_pe=self.use_temporal_pe, dtype=self.dtype,
+                )
+            elif t == "v2v_tag":
+                encs[t] = V2VTagEncoder(
+                    self.hidden_dim, self.num_tags, binary=True,
+                    use_temporal_pe=self.use_temporal_pe, dtype=self.dtype,
+                )
+            elif t == "drag_point":
+                encs[t] = DragPointEncoder(
+                    self.hidden_dim, self.drag_num_points,
+                    self.drag_pre_layers, self.drag_mlp_layers, dtype=self.dtype,
+                )
+            else:
+                raise KeyError(f"unknown condition type '{t}'")
+        self.encoders = encs
+        if self.cond_types:
+            self.cond_attn = GNNConditionAttn(
+                hidden_dim=self.hidden_dim,
+                num_layers=self.num_layers,
+                num_heads=self.num_heads,
+                head_dim=self.head_dim,
+                pool=self.pool,
+                dropout=self.dropout,
+                dtype=self.dtype,
+            )
+        if self.text_types:
+            if self.text_attn_type == "bow":
+                self.text_attn = BagOfTokensTextAttn(self.hidden_dim, dtype=self.dtype)
+            else:
+                self.text_attn = NoTextAttn(self.hidden_dim, dtype=self.dtype)
+
+    def __call__(
+        self,
+        conditions: Dict[str, Condition],
+        prompt_emb,
+        prompt: Prompt,
+        scene=None,
+        deterministic: bool = True,
+    ):
+        cond_embs = {}
+        for t in self.cond_types:
+            if t in conditions:
+                cond_embs[t] = self.encoders[t](conditions[t])
+        if cond_embs:
+            prompt_emb = self.cond_attn(
+                cond_embs, conditions, prompt_emb, prompt, deterministic
+            )
+
+        aux = None
+        if self.text_types:
+            t = self.text_types[0]
+            if t in conditions and isinstance(conditions[t], dict):
+                prompt_emb, aux = self.text_attn(
+                    conditions[t], prompt_emb, prompt, deterministic
+                )
+        return prompt_emb, aux
+
+
+def build_condition_transformer(config, dtype=jnp.float32) -> ConditionTransformer:
+    ct = config.MODEL.CONDITION_TRANSFORMER
+    types = list(config.PROMPT.CONDITION.TYPES)
+    cond_types = tuple(t for t in types if "OneText" not in t)
+    text_types = tuple(t for t in types if "OneText" in t)
+    return ConditionTransformer(
+        hidden_dim=config.MODEL.HIDDEN_DIM,
+        cond_types=cond_types,
+        text_types=text_types,
+        num_layers=ct.NLAYER,
+        num_heads=ct.NHEAD,
+        head_dim=ct.FF_DIM,
+        num_tags=len(config.PROMPT.CONDITION.MOTION_TAG.USED_TAGS),
+        pool=ct.COND_POOL_FUNC,
+        use_temporal_pe=ct.USE_TEMPORAL_ENCODING,
+        text_attn_type=ct.TEXT_ATTN.TYPE if text_types else "none",
+        drag_num_points=config.PROMPT.CONDITION.DRAG_POINT.MAX_POINTS,
+        drag_pre_layers=ct.CONDITION_ENCODER.DRAG_POINTS.NUM_PRE_LAYERS,
+        drag_mlp_layers=ct.CONDITION_ENCODER.DRAG_POINTS.NUM_MLP_LAYERS,
+        dropout=ct.DROPOUT,
+        dtype=dtype,
+    )

@@ -1,0 +1,255 @@
+"""Scene encoder: map + obs PointNet encoders fused by neighborhood attention.
+
+TPU-native redesign of the reference scene encoder
+(reference: prosim/models/scene_encoder/attn_fusion.py:12-250,
+scene_encoder/{map,obs}_encoder.py). Instead of flattening valid tokens and
+building torch_cluster kNN edge lists, we keep a fixed [B, L + A] token grid,
+select fixed-K nearest neighbors, and run the gated attention stack:
+per layer, agent tokens first self-attend over agent neighbors (a2a), then
+every scene token attends over scene neighbors (s2s) - matching the
+reference's alternating update order (attn_fusion.py:117-119).
+"""
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from prosim_tpu.core.registry import registry
+from prosim_tpu.data.batch import MapInputs, ObsInputs, SceneTokens
+from prosim_tpu.ops.attention import GatedNeighborAttention, RelPE, rel_pe_features
+from prosim_tpu.ops.mlp import MLP
+from prosim_tpu.ops.neighbors import neighbor_topk
+from prosim_tpu.ops.pointnet import PointNetPolylineEncoder
+
+
+class MapEncoderPointNet(nn.Module):
+    hidden_dim: int
+    num_pre_layers: int
+    num_mlp_layers: int
+    in_dim: int = 11
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, m: MapInputs):
+        emb = PointNetPolylineEncoder(
+            in_dim=self.in_dim,
+            hidden_dim=self.hidden_dim,
+            num_pre_layers=self.num_pre_layers,
+            num_mlp_layers=self.num_mlp_layers,
+            dtype=self.dtype,
+            name="pointnet",
+        )(m.vectors, m.mask)
+        return emb, m.token_mask  # [B, L, D], [B, L]
+
+
+class ObsEncoderPointNet(nn.Module):
+    hidden_dim: int
+    num_pre_layers: int
+    num_mlp_layers: int
+    in_dim: int = 24
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, step_mask):
+        """feat [B, A, Th, C], step_mask [B, A, Th] -> [B, A, D], [B, A]."""
+        emb = PointNetPolylineEncoder(
+            in_dim=self.in_dim,
+            hidden_dim=self.hidden_dim,
+            num_pre_layers=self.num_pre_layers,
+            num_mlp_layers=self.num_mlp_layers,
+            dtype=self.dtype,
+            name="pointnet",
+        )(feat, step_mask)
+        return emb, step_mask.any(axis=-1)
+
+
+@registry.register_scene_encoder(name="attn_fusion_relpe")
+class SceneEncoderAttnRelPE(nn.Module):
+    hidden_dim: int
+    num_layers: int
+    num_heads: int
+    head_dim: int
+    max_neigh: int
+    agent_radius: float
+    scene_radius: float
+    learnable_pe: bool
+    pe_num_freq: int
+    map_pre_layers: int
+    map_mlp_layers: int
+    obs_pre_layers: int
+    obs_mlp_layers: int
+    map_in_dim: int = 11
+    obs_in_dim: int = 24
+    obs_fusion: str = "replace"  # 'replace' | 'mlp'
+    attn_update: bool = False
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.map_encoder = MapEncoderPointNet(
+            self.hidden_dim, self.map_pre_layers, self.map_mlp_layers,
+            in_dim=self.map_in_dim, dtype=self.dtype,
+        )
+        self.obs_encoder = ObsEncoderPointNet(
+            self.hidden_dim, self.obs_pre_layers, self.obs_mlp_layers,
+            in_dim=self.obs_in_dim, dtype=self.dtype,
+        )
+        self.a2a_pe = RelPE(self.hidden_dim, self.learnable_pe, self.pe_num_freq, dtype=self.dtype)
+        self.s2s_pe = RelPE(self.hidden_dim, self.learnable_pe, self.pe_num_freq, dtype=self.dtype)
+        self.a2a_layers = [
+            GatedNeighborAttention(
+                hidden_dim=self.hidden_dim, num_heads=self.num_heads, head_dim=self.head_dim,
+                bipartite=False, dropout=self.dropout, dtype=self.dtype, name=f"a2a_{i}",
+            )
+            for i in range(self.num_layers)
+        ]
+        self.s2s_layers = [
+            GatedNeighborAttention(
+                hidden_dim=self.hidden_dim, num_heads=self.num_heads, head_dim=self.head_dim,
+                bipartite=False, dropout=self.dropout, dtype=self.dtype, name=f"s2s_{i}",
+            )
+            for i in range(self.num_layers)
+        ]
+        if self.obs_fusion == "mlp":
+            self.obs_update_mlp = MLP(
+                [self.hidden_dim * 2, self.hidden_dim, self.hidden_dim],
+                ret_before_act=True, dtype=self.dtype,
+            )
+
+    def __call__(self, init_obs: ObsInputs, init_map: MapInputs, deterministic: bool = True):
+        map_emb, map_tok_mask = self.map_encoder(init_map)
+        obs_emb, obs_tok_mask = self.obs_encoder(init_obs.feat, init_obs.mask)
+
+        scene = SceneTokens(
+            tokens=jnp.concatenate([map_emb, obs_emb], axis=1),
+            pos=jnp.concatenate([init_map.pos, init_obs.pos], axis=1),
+            ori=jnp.concatenate([init_map.ori, init_obs.ori], axis=1),
+            mask=jnp.concatenate([map_tok_mask, obs_tok_mask], axis=1),
+            num_map=map_emb.shape[1],
+        )
+        return self._fuse(scene, deterministic)
+
+    def _fuse(self, scene: SceneTokens, deterministic: bool):
+        """Alternating a2a/s2s attention over the full token grid
+        (reference semantics: attn_fusion.py:107-119; kNN with self-loops)."""
+        m = scene.num_map
+        obs_pos, obs_ori = scene.pos[:, m:], scene.ori[:, m:]
+        obs_mask = scene.mask[:, m:]
+
+        a2a_k = min(self.max_neigh * 4, 100)
+        a2a_idx, a2a_valid = neighbor_topk(obs_pos, obs_pos, obs_mask, obs_mask, k=a2a_k)
+        a2a_pe = self.a2a_pe(
+            rel_pe_features(obs_pos, obs_ori, obs_pos, obs_ori, a2a_idx, self.learnable_pe)
+        )
+
+        s2s_idx, s2s_valid = neighbor_topk(
+            scene.pos, scene.pos, scene.mask, scene.mask, k=self.max_neigh
+        )
+        s2s_pe = self.s2s_pe(
+            rel_pe_features(scene.pos, scene.ori, scene.pos, scene.ori, s2s_idx, self.learnable_pe)
+        )
+
+        x = scene.tokens
+        for i in range(self.num_layers):
+            x_obs = self.a2a_layers[i](
+                x[:, m:], x[:, m:], a2a_idx, a2a_valid, a2a_pe, deterministic=deterministic
+            )
+            x = jnp.concatenate([x[:, :m], x_obs], axis=1)
+            x = self.s2s_layers[i](x, x, s2s_idx, s2s_valid, s2s_pe, deterministic=deterministic)
+
+        return scene.replace(tokens=x)
+
+    def update_obs(
+        self,
+        scene: SceneTokens,
+        obs_feat,
+        obs_step_mask,
+        obs_pos,
+        obs_ori,
+        deterministic: bool = True,
+    ) -> SceneTokens:
+        """Incremental per-replan-step obs update
+        (reference: attn_fusion.py:238-250). Demo config uses FUSION='replace'
+        with no re-attention; 'mlp' fusion and attention update are supported
+        for config parity."""
+        new_emb, new_tok_mask = self.obs_encoder(obs_feat, obs_step_mask)
+
+        if self.obs_fusion == "mlp":
+            old_emb = scene.obs_tokens
+            fused = self.obs_update_mlp(jnp.concatenate([old_emb, new_emb], axis=-1))
+            # agents present in both old and new keep fused embeddings; agents
+            # only in the new obs keep their fresh encoding
+            both = new_tok_mask & scene.mask[:, scene.num_map:]
+            new_emb = jnp.where(both[..., None], fused, new_emb)
+
+        scene = scene.replace_obs(new_emb, obs_pos, obs_ori, new_tok_mask)
+
+        if self.attn_update:
+            scene = self._update_attn(scene, deterministic)
+        return scene
+
+    def _update_attn(self, scene: SceneTokens, deterministic: bool):
+        """Re-attend agents: a2a over agents + m2a cross from map
+        (reference: attn_fusion.py:136-173; radius graphs, no self-loops)."""
+        m = scene.num_map
+        obs_pos, obs_ori, obs_mask = scene.pos[:, m:], scene.ori[:, m:], scene.mask[:, m:]
+        map_pos, map_ori, map_mask = scene.pos[:, :m], scene.ori[:, :m], scene.mask[:, :m]
+
+        a2a_idx, a2a_valid = neighbor_topk(
+            obs_pos, obs_pos, obs_mask, obs_mask,
+            k=self.max_neigh, radius=self.agent_radius, exclude_self=True,
+        )
+        a2a_pe = self.a2a_pe(
+            rel_pe_features(obs_pos, obs_ori, obs_pos, obs_ori, a2a_idx, self.learnable_pe)
+        )
+        m2a_idx, m2a_valid = neighbor_topk(
+            obs_pos, map_pos, obs_mask, map_mask, k=self.max_neigh, radius=self.scene_radius
+        )
+        m2a_pe = self.s2s_pe(
+            rel_pe_features(obs_pos, obs_ori, map_pos, map_ori, m2a_idx, self.learnable_pe)
+        )
+
+        x_a = scene.obs_tokens
+        x_m = scene.map_tokens
+        for i in range(self.num_layers):
+            x_a = self.a2a_layers[i](x_a, x_a, a2a_idx, a2a_valid, a2a_pe, deterministic=deterministic)
+            x_a = self.s2s_layers[i](x_a, x_m, m2a_idx, m2a_valid, m2a_pe, deterministic=deterministic)
+
+        return scene.replace(tokens=jnp.concatenate([x_m, x_a], axis=1))
+
+
+def build_scene_encoder(config, dtype=jnp.float32) -> SceneEncoderAttnRelPE:
+    mc = config.MODEL
+    attn = mc.SCENE_ENCODER.ATTN
+    map_in = 6
+    if config.DATASET.FORMAT.MAP.WITH_TYPE_EMB:
+        map_in += 3
+    if config.DATASET.FORMAT.MAP.WITH_DIR:
+        map_in += 2
+    obs_in = len(config.DATASET.FORMAT.HISTORY.ELEMENTS.split(","))
+    if config.DATASET.FORMAT.HISTORY.WITH_EXTEND:
+        obs_in += 2
+    if config.DATASET.FORMAT.HISTORY.WITH_AGENT_TYPE:
+        obs_in += 3
+    if config.DATASET.FORMAT.HISTORY.WITH_TIME_EMB:
+        obs_in += config.DATASET.FORMAT.HISTORY.STEPS
+    return SceneEncoderAttnRelPE(
+        hidden_dim=mc.HIDDEN_DIM,
+        num_layers=attn.NUM_LAYER,
+        num_heads=attn.NUM_HEAD,
+        head_dim=attn.FF_DIM,
+        max_neigh=attn.MAX_NUM_NEIGH,
+        agent_radius=attn.AGENT_RADIUS,
+        scene_radius=attn.SCENE_RADIUS,
+        learnable_pe=attn.LEARNABLE_PE,
+        pe_num_freq=attn.PE_NUM_FREQ,
+        map_pre_layers=mc.MAP_ENCODER.POINTNET.NUM_PRE_LAYERS,
+        map_mlp_layers=mc.MAP_ENCODER.POINTNET.NUM_MLP_LAYERS,
+        obs_pre_layers=mc.OBS_ENCODER.POINTNET.NUM_PRE_LAYERS,
+        obs_mlp_layers=mc.OBS_ENCODER.POINTNET.NUM_MLP_LAYERS,
+        map_in_dim=map_in,
+        obs_in_dim=obs_in,
+        obs_fusion=mc.OBS_UPDATE.FUSION,
+        attn_update=mc.OBS_UPDATE.ATTN_UPDATE,
+        dropout=attn.DROPOUT,
+        dtype=dtype,
+    )

@@ -1,0 +1,123 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from prosim_tpu.config import get_config
+from prosim_tpu.data.synthetic import make_synthetic_batch
+from prosim_tpu.models.prosim import ProSim
+
+SMALL_OPTS = [
+    "MODEL.SCENE_ENCODER.ATTN.NUM_LAYER", "2",
+    "MODEL.DECODER.ATTN.NUM_LAYER", "2",
+    "MODEL.POLICY.ACT_DECODER.ATTN.NUM_LAYER", "2",
+    "MODEL.HIDDEN_DIM", "32",
+    "MODEL.SCENE_ENCODER.ATTN.FF_DIM", "4",
+    "MODEL.DECODER.ATTN.FF_DIM", "4",
+    "MODEL.POLICY.ACT_DECODER.ATTN.FF_DIM", "4",
+    "MODEL.SCENE_ENCODER.ATTN.MAX_NUM_NEIGH", "8",
+    "MODEL.DECODER.ATTN.MAX_NUM_NEIGH", "8",
+    "MODEL.POLICY.ACT_DECODER.ATTN.MAX_NUM_NEIGH", "8",
+]
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    cfg = get_config(opts=SMALL_OPTS)
+    model = ProSim(cfg)
+    batch = make_synthetic_batch(
+        cfg, batch_size=2, num_lanes=16, num_obs_agents=10, num_agents=6, num_replan=2
+    )
+    params = model.init(jax.random.PRNGKey(0), batch)
+    fwd = jax.jit(lambda p, b, k: model.forward(p, b, "val", k))
+    out = fwd(params, batch, jax.random.PRNGKey(7))
+    out2 = fwd(params, batch, jax.random.PRNGKey(7))
+    return dict(cfg=cfg, model=model, batch=batch, params=params, fwd=fwd, out=out, out2=out2)
+
+
+def test_forward_shapes(ctx):
+    cfg, batch, out = ctx["cfg"], ctx["batch"], ctx["out"]
+    B, N = batch.prompt.mask.shape
+    R = batch.fut_obs.feat.shape[1]
+    S = cfg.DATASET.FORMAT.TARGET.STEPS
+    K = cfg.MODEL.POLICY.ACT_DECODER.TRAJ.K
+    state_dim = len(cfg.DATASET.FORMAT.TARGET.ELEMENTS.split(","))
+
+    assert out["motion_pred"].shape == (R, B, N, K, S, state_dim)
+    assert out["motion_prob"].shape == (R, B, N, K)
+    assert out["rollout_traj"].shape == (B, N, R * cfg.ROLLOUT.POLICY.REPLAN_FREQ, 4)
+    mask = np.asarray(batch.prompt.mask)
+    rt = np.asarray(out["rollout_traj"])
+    assert np.isfinite(rt[mask]).all()
+    # (sin, cos) channels stay on the unit circle for valid agents
+    sc = rt[mask][..., 2] ** 2 + rt[mask][..., 3] ** 2
+    np.testing.assert_allclose(sc, 1.0, atol=1e-4)
+
+
+def test_jit_deterministic(ctx):
+    np.testing.assert_array_equal(
+        np.asarray(ctx["out"]["rollout_traj"]), np.asarray(ctx["out2"]["rollout_traj"])
+    )
+
+
+def test_no_teleporting(ctx):
+    traj = np.asarray(ctx["out"]["rollout_traj"])
+    mask = np.asarray(ctx["batch"].prompt.mask)
+    steps = np.diff(traj[..., :2], axis=2)
+    assert np.abs(steps[mask]).max() < 100.0
+
+
+def test_train_mode_grads_flow(ctx):
+    model, batch, params = ctx["model"], ctx["batch"], ctx["params"]
+
+    def loss_fn(p):
+        out = model.forward(p, batch, "train", jax.random.PRNGKey(0))
+        m = batch.prompt.mask[None, :, :, None, None, None]
+        return jnp.sum(jnp.where(m, out["motion_pred"], 0.0) ** 2) / 1000.0
+
+    val, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+    assert np.isfinite(float(val))
+    total = sum(float(x) for x in jax.tree.leaves(jax.tree.map(lambda g: jnp.abs(g).sum(), grads)))
+    assert np.isfinite(total) and total > 0
+
+
+def test_padding_agents_do_not_affect_valid_agents(ctx):
+    """Growing the policy-agent axis with masked slots must not change valid
+    agents' rollouts (mask-correctness of the whole closed loop)."""
+    model, params = ctx["model"], ctx["params"]
+    b1 = ctx["batch"]
+    out1 = ctx["out"]
+
+    from prosim_tpu.data.batch import Prompt, FutObs
+
+    def pad(x, n, axis):
+        pw = [(0, 0)] * x.ndim
+        pw[axis] = (0, n)
+        return jnp.pad(x, pw)
+
+    p = b1.prompt
+    B = p.mask.shape[0]
+    prompt2 = Prompt(
+        feat=pad(p.feat, 3, 1),
+        mask=pad(p.mask, 3, 1),
+        pos=pad(p.pos, 3, 1),
+        ori=pad(p.ori, 3, 1),
+        agent_type=pad(p.agent_type, 3, 1),
+        obs_index=jnp.concatenate([p.obs_index, -jnp.ones((B, 3), jnp.int32)], axis=1),
+        extent=pad(p.extent, 3, 1),
+        goal_point=pad(p.goal_point, 3, 1),
+    )
+    f = b1.fut_obs
+    fut2 = FutObs(
+        feat=f.feat, mask=f.mask, pos=f.pos, ori=f.ori,
+        obs_index=jnp.concatenate(
+            [f.obs_index, -jnp.ones((B, f.obs_index.shape[1], 3), jnp.int32)], axis=2
+        ),
+    )
+    b2 = b1.replace(prompt=prompt2, fut_obs=fut2)
+    out2 = model.forward(params, b2, "val", jax.random.PRNGKey(7))
+
+    mask = np.asarray(b1.prompt.mask)
+    t1 = np.asarray(out1["rollout_traj"])[mask]
+    t2 = np.asarray(out2["rollout_traj"])[:, :6][mask]
+    np.testing.assert_allclose(t1, t2, atol=2e-4, rtol=2e-4)
