@@ -123,6 +123,19 @@ class SceneBatch:
     def batch_size(self):
         return self.init_obs.feat.shape[0]
 
+    def map_batch_leaves(self, fn, other_fn=None):
+        """Apply fn to every leaf whose dim 0 is the scene axis; apply
+        other_fn (default: identity) to per-batch constants (io_pairs.t_indices
+        is the only one)."""
+        import jax
+
+        other_fn = other_fn or (lambda x: x)
+        t_idx = self.io_pairs.t_indices if self.io_pairs is not None else None
+        out = jax.tree.map(fn, self)
+        if t_idx is not None:
+            out = out.replace(io_pairs=out.io_pairs.replace(t_indices=other_fn(t_idx)))
+        return out
+
 
 @struct.dataclass
 class SceneTokens:

@@ -1,0 +1,234 @@
+"""Condition generation: build per-type prompt conditions for a scene batch.
+
+Host-side equivalent of the reference ConditionGenerator
+(reference: prosim/dataset/condition_utils.py:126-1094) over padded arrays:
+
+  goal         - each target agent's GT goal (local frame at t=0) + future
+                 length (condition_utils.py:126-175)
+  v_action_tag - (tag id, start, end) triples per tagged agent interval
+                 (condition_utils.py:177-222); tags from the 520k JSON or the
+                 built-in trajectory deriver
+  drag_point   - subsampled noisy future xy with an optional random
+                 consecutive subset (condition_utils.py:366-447)
+
+Sampling policies fix/uniform/normal/none with per-scene and per-batch quotas
+(condition_utils.py:645-748) and hard/soft priority masking across types
+(condition_utils.py:866-972).
+"""
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from prosim_tpu.data.batch import Condition, SceneBatch
+from prosim_tpu.data.motion_tags import (
+    MotionTag,
+    VActionTag,
+    derive_motion_tags,
+    filter_to_interval,
+    process_tags,
+)
+
+# hard-priority order between condition types: an agent already covered by an
+# earlier type is masked out of later types (reference: condition_utils.py:866-972)
+PRIORITY_ORDER = ["goal", "drag_point", "v_action_tag", "v2v_tag",
+                  "motion_tag_OneText", "llm_text_OneText"]
+
+
+def _pad_c(arr, C, fill=0):
+    out = np.full((C,) + arr.shape[1:], fill, arr.dtype)
+    n = min(len(arr), C)
+    out[:n] = arr[:n]
+    return out
+
+
+class ConditionGenerator:
+    def __init__(self, config, split: str = "train"):
+        self.config = config
+        self.cond_cfg = config.PROMPT.CONDITION
+        self.split = split
+        self.types = list(self.cond_cfg.TYPES)
+
+    # ------------------------------------------------------------- builders
+    def goal_condition(self, batch_np: dict, rng) -> dict:
+        """batch_np: per-scene dict with 'goal' [N,2] local goals, 'fut_len'
+        [N], 'prompt_valid' [N]."""
+        N = len(batch_np["prompt_valid"])
+        inp = np.concatenate(
+            [batch_np["goal"], batch_np["fut_len"][:, None].astype(np.float32)],
+            axis=-1,
+        )
+        return {
+            "input": inp.astype(np.float32),
+            "mask": batch_np["prompt_valid"].copy(),
+            "prompt_idx": np.arange(N, dtype=np.int32)[:, None],
+        }
+
+    def action_tag_condition(self, tags: List[MotionTag], agent_names: List[str],
+                             rng) -> dict:
+        used = [t for t in self.cond_cfg.MOTION_TAG.USED_TAGS
+                if t in VActionTag.__members__]
+        name_to_idx = {n: i for i, n in enumerate(agent_names)}
+        rows, pidx = [], []
+        for t in tags:
+            if t.type != "unary" or t.tag not in used:
+                continue
+            if t.agents[0] not in name_to_idx:
+                continue
+            rows.append([VActionTag[t.tag].value, t.interval[0], t.interval[1]])
+            pidx.append(name_to_idx[t.agents[0]])
+        if not rows:
+            return {
+                "input": np.zeros((0, 3), np.float32),
+                "mask": np.zeros((0,), bool),
+                "prompt_idx": np.zeros((0, 1), np.int32),
+            }
+        return {
+            "input": np.asarray(rows, np.float32),
+            "mask": np.ones(len(rows), bool),
+            "prompt_idx": np.asarray(pidx, np.int32)[:, None],
+        }
+
+    def drag_point_condition(self, full_traj_xy, full_valid, prompt_valid, rng) -> dict:
+        """full_traj_xy [N, T*S, 2] local-frame future; subsample and jitter."""
+        d = self.cond_cfg.DRAG_POINT
+        rate = d.SAMPLE_RATE
+        pts = full_traj_xy[:, ::rate].copy()          # [N, P, 2]
+        pv = full_valid[:, ::rate].copy()             # [N, P]
+        N, P = pv.shape
+
+        # random consecutive subset per agent
+        if self.split.upper() == "TRAIN":
+            for n in range(N):
+                vi = np.nonzero(pv[n])[0]
+                if len(vi) == 0:
+                    continue
+                lo, hi = vi[0], vi[-1]
+                max_len = hi - lo + 1
+                ln = rng.integers(1, max_len) if max_len > 1 else max_len
+                st = rng.integers(lo, hi - ln + 2)
+                keep = np.zeros(P, bool)
+                keep[st:st + ln] = True
+                pv[n] &= keep
+        if d.NOISE_STD > 0:
+            pts = pts + rng.normal(scale=d.NOISE_STD, size=pts.shape)
+
+        pts[~pv] = np.nan
+        valid = pv.any(-1) & prompt_valid
+        flat = pts[:, :d.MAX_POINTS].reshape(N, -1).astype(np.float32)
+        return {
+            "input": flat,
+            "mask": valid,
+            "prompt_idx": np.arange(N, dtype=np.int32)[:, None],
+        }
+
+    # ------------------------------------------------------------- sampling
+    def sample(self, data: dict, rng, quota_scene: Optional[int] = None) -> dict:
+        mode = (self.cond_cfg.SAMPLE_MODE.TRAIN if self.split.upper() == "TRAIN"
+                else self.cond_cfg.SAMPLE_MODE.VAL)
+        shuffle = (self.cond_cfg.RANDOM_SAMPLE.TRAIN if self.split.upper() == "TRAIN"
+                   else self.cond_cfg.RANDOM_SAMPLE.VAL)
+        valid_idx = np.nonzero(data["mask"])[0]
+        v = len(valid_idx)
+        if mode == "none":
+            n = v
+        elif mode == "fix":
+            n = int(v * self.cond_cfg.SAMPLE_RATE)
+        elif mode == "uniform":
+            n = int(rng.integers(0, v + 1))
+        elif mode == "normal":
+            rate = float(np.clip(rng.normal(self.cond_cfg.SAMPLE_RATE, 0.2), 0, 1))
+            n = int(v * rate)
+        else:
+            raise ValueError(f"unknown sample mode {mode}")
+        if quota_scene is not None:
+            n = min(n, quota_scene)
+        if n < v:
+            sel = rng.choice(valid_idx, n, replace=False) if shuffle else valid_idx[:n]
+            mask = np.zeros_like(data["mask"])
+            mask[sel] = True
+            data = dict(data)
+            data["mask"] = data["mask"] & mask
+        return data
+
+    # ----------------------------------------------------------------- main
+    def generate(self, scene, batch: SceneBatch, scene_ts: int,
+                 agent_names_by_slot: Optional[List[str]] = None,
+                 rng: Optional[np.random.Generator] = None,
+                 tags: Optional[List[MotionTag]] = None) -> Dict[str, Condition]:
+        """Build all configured condition types for a B=1 formatted batch."""
+        rng = rng or np.random.default_rng(0)
+        C = self.config.DATASET.FORMAT.PAD.NUM_CONDS
+        N_pad = batch.prompt.mask.shape[1]
+        prompt_valid = np.asarray(batch.prompt.mask)[0]
+
+        io = batch.io_pairs
+        # future length per agent from io full_traj validity
+        fut_valid = np.asarray(io.full_traj_valid)[0]
+        fut_len = np.where(fut_valid.any(-1),
+                           fut_valid.shape[-1] - np.argmax(fut_valid[:, ::-1], -1), 0)
+        per_scene = {
+            "goal": np.asarray(io.goal)[0, 0],
+            "fut_len": fut_len,
+            "prompt_valid": prompt_valid,
+        }
+
+        if tags is None and any(t in ("v_action_tag", "v2v_tag") for t in self.types):
+            mt_cfg = self.cond_cfg.MOTION_TAG
+            fut_horizon = int(np.asarray(io.t_indices)[-1]) + self.config.DATASET.FORMAT.TARGET.STEPS
+            raw = derive_motion_tags(
+                scene.states, scene.valid, scene.agent_names,
+                dt=self.config.DATASET.MOTION.DT,
+                used_tags=mt_cfg.USED_TAGS,
+            )
+            raw = filter_to_interval(raw, scene_ts, scene_ts + fut_horizon)
+            tags = process_tags(raw, mt_cfg.INTEGRATE_TOLERANCE, mt_cfg.MIN_DURATION)
+
+        out: Dict[str, Condition] = {}
+        covered = np.zeros(N_pad, bool)
+        quota = self.cond_cfg.MAX_COND_PER_SCENE
+
+        for ctype in sorted(self.types, key=lambda t: PRIORITY_ORDER.index(t)
+                            if t in PRIORITY_ORDER else 99):
+            if "OneText" in ctype:
+                continue  # text path handled by the tokenizer pipeline
+            if ctype == "goal":
+                data = self.goal_condition(per_scene, rng)
+            elif ctype == "v_action_tag":
+                if agent_names_by_slot is None:
+                    continue
+                data = self.action_tag_condition(tags or [], agent_names_by_slot, rng)
+            elif ctype == "drag_point":
+                data = self.drag_point_condition(
+                    np.asarray(io.full_traj_xy)[0],
+                    fut_valid,
+                    prompt_valid,
+                    rng,
+                )
+            else:
+                continue
+
+            data = self.sample(data, rng, quota_scene=quota)
+
+            if self.cond_cfg.USE_PRIORITY_MASK:
+                # drop conditions whose agent is already covered by a
+                # higher-priority type
+                tgt_agents = data["prompt_idx"][:, 0]
+                clash = covered[np.clip(tgt_agents, 0, N_pad - 1)] & data["mask"][:len(tgt_agents)]
+                data["mask"] = data["mask"] & ~clash
+
+            pm = np.zeros(N_pad, bool)
+            valid_rows = data["mask"]
+            for i in np.nonzero(valid_rows)[0]:
+                for j in data["prompt_idx"][i]:
+                    if 0 <= j < N_pad:
+                        pm[j] = True
+            covered |= pm
+
+            out[ctype] = Condition(
+                feat=_pad_c(data["input"], C)[None],
+                mask=_pad_c(data["mask"], C)[None],
+                prompt_idx=_pad_c(data["prompt_idx"], C, fill=-1)[None].astype(np.int32),
+                prompt_mask=(pm & prompt_valid)[None],
+            )
+        return out

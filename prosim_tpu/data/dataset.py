@@ -1,0 +1,98 @@
+"""Dataset: trajdata cache -> padded SceneBatch stream.
+
+Equivalent of the reference's ProSimDataset/ProSimImitationDataset
+(reference: prosim/dataset/{basic,imitation}.py) without the trajdata
+dependency: scenes are read straight from the cache, formatted host-side into
+fixed-shape arrays, and collated into device batches.
+
+Scene/ts enumeration follows the reference: one element per (scene, scene_ts)
+with scene_ts fixed by ROLLOUT.POLICY.POLICY_START_FRAME for the standard
+imitation setup, scene-list filtering and subsampling by split.
+"""
+
+import os
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from prosim_tpu.core.registry import registry
+from prosim_tpu.data.batch import SceneBatch
+from prosim_tpu.data.conditions import ConditionGenerator
+from prosim_tpu.data.formatter import collate, format_scene
+from prosim_tpu.data.trajdata_cache import SceneData, list_scenes, load_scene
+
+
+@registry.register_dataset(name="prosim_imitation")
+class ProSimImitationDataset:
+    def __init__(self, config, split: str = "train",
+                 cache_dir: Optional[str] = None):
+        self.config = config
+        self.split = split
+        self.cache_dir = cache_dir or config.DATASET.DATA_PATHS.CACHE_DIR
+        self.envs = list(config.DATASET.SOURCE[split.upper()])
+        self.cond_gen = ConditionGenerator(config, split)
+        self.scene_ts = config.ROLLOUT.POLICY.POLICY_START_FRAME
+
+        self.index: List[Tuple[str, str, int]] = []
+        for env in self.envs:
+            env_dir = os.path.join(self.cache_dir, env)
+            if not os.path.isdir(env_dir):
+                continue
+            for scene_name in self._filter_scenes(list_scenes(self.cache_dir, env)):
+                self.index.append((env, scene_name, self.scene_ts))
+
+        rate = config.DATASET.SCENE.SAMPLE_RATE[split.upper()]
+        if rate > 1:
+            self.index = self.index[::rate]
+        self._scene_cache = {}
+
+    def _filter_scenes(self, scenes: Sequence[str]) -> List[str]:
+        mode = self.config.DATASET.DATA_LIST.MODE
+        if mode == "all":
+            return list(scenes)
+        list_path = self.config.DATASET.DATA_LIST[self.split.upper()]
+        if not list_path or not os.path.exists(list_path):
+            return list(scenes)
+        with open(list_path) as f:
+            wanted = {l.strip() for l in f if l.strip()}
+        return [s for s in scenes if s in wanted]
+
+    def __len__(self):
+        return len(self.index)
+
+    def _load(self, env: str, scene_name: str) -> SceneData:
+        key = (env, scene_name)
+        if key not in self._scene_cache:
+            if len(self._scene_cache) > 32:
+                self._scene_cache.clear()
+            self._scene_cache[key] = load_scene(self.cache_dir, env, scene_name)
+        return self._scene_cache[key]
+
+    def get_scene_batch(self, idx: int, seed: Optional[int] = None) -> SceneBatch:
+        env, scene_name, ts = self.index[idx]
+        rng = np.random.default_rng(seed if seed is not None else idx)
+        scene = self._load(env, scene_name)
+        meta = {}
+        batch = format_scene(scene, self.config, ts, self.split, rng, out_meta=meta)
+
+        if self.cond_gen.types:
+            conds = self.cond_gen.generate(
+                scene, batch, ts,
+                agent_names_by_slot=meta.get("target_names", []),
+                rng=rng,
+            )
+            batch = batch.replace(conditions=conds)
+
+        import jax
+        import jax.numpy as jnp
+
+        return jax.tree.map(jnp.asarray, batch)
+
+    def batches(self, batch_size: int, shuffle: bool = False,
+                seed: int = 0, drop_last: bool = True) -> Iterator[SceneBatch]:
+        order = np.arange(len(self.index))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for i in range(0, len(order) - (batch_size - 1 if drop_last else 0), batch_size):
+            idxs = order[i : i + batch_size]
+            yield collate([self.get_scene_batch(int(j)) for j in idxs])

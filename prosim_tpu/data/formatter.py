@@ -237,7 +237,8 @@ def build_obs_window(scene_states, scene_valid, types, extents, origin_idx,
 # ------------------------------------------------------------------ scene
 
 def format_scene(scene: SceneData, config, scene_ts: int, split: str = "train",
-                 rng: Optional[np.random.Generator] = None) -> SceneBatch:
+                 rng: Optional[np.random.Generator] = None,
+                 out_meta: Optional[dict] = None) -> SceneBatch:
     """Build a single-scene (B=1) SceneBatch at `scene_ts`.
 
     Scene frame = ego pose at scene_ts (reference USE_EGO_CENTER,
@@ -289,6 +290,9 @@ def format_scene(scene: SceneData, config, scene_ts: int, split: str = "train",
     universe = universe[:A_pad]
     A = len(universe)
     uni = np.asarray(universe, np.int64)
+    if out_meta is not None:
+        out_meta["target_names"] = [scene.agent_names[i] for i in tgt]
+        out_meta["universe_names"] = [scene.agent_names[i] for i in universe]
 
     # ---- init_obs
     feat, step_mask, pos, ori = build_obs_window(

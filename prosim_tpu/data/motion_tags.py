@@ -1,0 +1,222 @@
+"""Motion tags: per-agent action labels over time intervals.
+
+The reference sources motion tags from the prosim_instruct_520k JSON release
+and post-processes them (reference: prosim/dataset/data_utils.py:524-575,
+dataset/motion_tag_utils.py:4-211). This module provides both:
+
+  * a JSON loader for the released tag format, and
+  * a self-contained deriver that computes unary tags directly from cached
+    trajectories (speed / heading profiles) so action-tag prompting works on
+    any trajdata cache without the 520k download.
+
+Interval post-processing honors the same config knobs: merge same-tag
+intervals separated by <= INTEGRATE_TOLERANCE, drop intervals shorter than
+MIN_DURATION, and resolve conflicts inside exclusion groups by priority.
+"""
+
+import json
+import os
+from dataclasses import dataclass
+from enum import IntEnum
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class VActionTag(IntEnum):
+    Accelerate = 0
+    Decelerate = 1
+    KeepSpeed = 2
+    Stopping = 3
+    LeftLaneChange = 4
+    RightLaneChange = 5
+    KeepLane = 6
+    LeftTurn = 7
+    RightTurn = 8
+    Straight = 9
+    Parked = 10
+
+
+class V2VTag(IntEnum):
+    Follow = 0
+    Yield = 1
+    Pass = 2
+
+
+# tags that cannot coexist on the same agent at the same time; on overlap the
+# earlier tag in the priority list wins
+EXCLUSION_GROUPS = [
+    ["Parked", "Stopping", "Accelerate", "Decelerate", "KeepSpeed"],
+    ["LeftTurn", "RightTurn", "Straight"],
+    ["LeftLaneChange", "RightLaneChange", "KeepLane"],
+]
+PRIORITY = {t: i for i, t in enumerate([
+    "Parked", "Stopping", "LeftTurn", "RightTurn", "LeftLaneChange",
+    "RightLaneChange", "Accelerate", "Decelerate", "KeepSpeed", "Straight",
+    "KeepLane",
+])}
+
+
+@dataclass
+class MotionTag:
+    tag: str
+    agents: Tuple[str, ...]
+    interval: Tuple[int, int]  # [start, end] in scene frames
+    type: str = "unary"
+
+
+# ------------------------------------------------------------- processing
+
+def integrate_tags(tags: List[MotionTag], tolerance: int) -> List[MotionTag]:
+    """Merge same-(tag, agents) intervals with gaps <= tolerance."""
+    by_key: Dict[tuple, List[MotionTag]] = {}
+    for t in tags:
+        by_key.setdefault((t.tag, t.agents, t.type), []).append(t)
+    out = []
+    for (tag, agents, ttype), group in by_key.items():
+        group.sort(key=lambda t: t.interval[0])
+        cur_s, cur_e = group[0].interval
+        for t in group[1:]:
+            s, e = t.interval
+            if s - cur_e <= tolerance:
+                cur_e = max(cur_e, e)
+            else:
+                out.append(MotionTag(tag, agents, (cur_s, cur_e), ttype))
+                cur_s, cur_e = s, e
+        out.append(MotionTag(tag, agents, (cur_s, cur_e), ttype))
+    return out
+
+
+def remove_short_tags(tags: List[MotionTag], min_duration: int) -> List[MotionTag]:
+    return [t for t in tags if t.interval[1] - t.interval[0] >= min_duration]
+
+
+def resolve_conflicts(tags: List[MotionTag]) -> List[MotionTag]:
+    """Within each exclusion group, trim/drop lower-priority overlaps."""
+    out = list(tags)
+    for group in EXCLUSION_GROUPS:
+        gset = set(group)
+        members = sorted(
+            [t for t in out if t.tag in gset],
+            key=lambda t: PRIORITY.get(t.tag, 99),
+        )
+        kept: List[MotionTag] = []
+        for t in members:
+            s, e = t.interval
+            for k in kept:
+                if k.agents != t.agents:
+                    continue
+                ks, ke = k.interval
+                if s < ke and e > ks:  # overlap: trim t around k
+                    if s >= ks and e <= ke:
+                        s, e = 0, -1  # fully covered -> drop
+                        break
+                    if s < ks:
+                        e = min(e, ks)
+                    else:
+                        s = max(s, ke)
+            if e > s:
+                kept.append(MotionTag(t.tag, t.agents, (s, e), t.type))
+        out = [t for t in out if t.tag not in gset] + kept
+    return out
+
+
+def process_tags(tags, tolerance: int, min_duration: int) -> List[MotionTag]:
+    tags = integrate_tags(tags, tolerance)
+    tags = remove_short_tags(tags, min_duration)
+    tags = resolve_conflicts(tags)
+    return sorted(tags, key=lambda t: (t.agents, t.interval[0]))
+
+
+# --------------------------------------------------------------- deriver
+
+def derive_motion_tags(
+    states: np.ndarray,       # [A, T, 8] world or scene frame
+    valid: np.ndarray,        # [A, T]
+    agent_names: Sequence[str],
+    dt: float = 0.1,
+    used_tags: Optional[Sequence[str]] = None,
+    smooth: int = 5,
+    acc_thresh: float = 0.4,       # m/s^2 sustained
+    turn_rate_thresh: float = 0.1, # rad over the window per step ~ deg/s
+    stop_speed: float = 0.5,
+    parked_speed: float = 0.2,
+) -> List[MotionTag]:
+    """Heuristic unary tags from speed / heading profiles."""
+    from prosim_tpu.data.trajdata_cache import VX, VY, H
+
+    used = set(used_tags) if used_tags is not None else {t.name for t in VActionTag}
+    A, T, _ = states.shape
+    tags: List[MotionTag] = []
+
+    kernel = np.ones(smooth) / smooth
+
+    for a in range(A):
+        ok = valid[a]
+        if ok.sum() < smooth + 2:
+            continue
+        idx = np.nonzero(ok)[0]
+        s0, s1 = idx[0], idx[-1] + 1
+        speed = np.nan_to_num(np.linalg.norm(states[a, s0:s1][:, [VX, VY]], axis=-1))
+        heading = np.nan_to_num(states[a, s0:s1][:, H])
+        n = len(speed)
+        if n < smooth + 2:
+            continue
+        sm_speed = np.convolve(speed, kernel, mode="same")
+        acc = np.gradient(sm_speed, dt)
+        dhead = np.gradient(np.unwrap(heading), dt)  # rad/s
+
+        name = (agent_names[a],)
+
+        def emit(tag, mask):
+            if tag not in used or not mask.any():
+                return
+            d = np.diff(np.concatenate([[0], mask.astype(int), [0]]))
+            starts = np.nonzero(d == 1)[0]
+            ends = np.nonzero(d == -1)[0]
+            for st, en in zip(starts, ends):
+                tags.append(MotionTag(tag, name, (int(st + s0), int(en - 1 + s0))))
+
+        if (sm_speed < parked_speed).all():
+            emit("Parked", np.ones(n, bool))
+            continue
+
+        emit("Accelerate", (acc > acc_thresh) & (sm_speed > stop_speed))
+        emit("Decelerate", (acc < -acc_thresh) & (sm_speed > stop_speed))
+        emit("KeepSpeed", (np.abs(acc) <= acc_thresh) & (sm_speed > stop_speed))
+        emit("Stopping", (acc < -acc_thresh / 2) & (sm_speed <= stop_speed * 3)
+             & (np.minimum.accumulate(sm_speed[::-1])[::-1] < stop_speed))
+        emit("LeftTurn", (dhead > turn_rate_thresh) & (sm_speed > stop_speed))
+        emit("RightTurn", (dhead < -turn_rate_thresh) & (sm_speed > stop_speed))
+        emit("Straight", (np.abs(dhead) <= turn_rate_thresh) & (sm_speed > stop_speed))
+
+    return tags
+
+
+# ----------------------------------------------------------------- loader
+
+def load_tags_json(path: str) -> List[MotionTag]:
+    """Load the released 520k-format tag JSON for one scene."""
+    with open(path) as f:
+        raw = json.load(f)
+    out = []
+    for t in raw if isinstance(raw, list) else raw.get("result", []):
+        out.append(
+            MotionTag(
+                tag=t["tag"],
+                agents=tuple(t["agents"]),
+                interval=(int(t["interval"][0]), int(t["interval"][1])),
+                type=t.get("type", "unary"),
+            )
+        )
+    return out
+
+
+def filter_to_interval(tags: List[MotionTag], start: int, end: int) -> List[MotionTag]:
+    out = []
+    for t in tags:
+        s, e = t.interval
+        s2, e2 = max(s, start), min(e, end)
+        if e2 > s2:
+            out.append(MotionTag(t.tag, t.agents, (s2 - start, e2 - start), t.type))
+    return out

@@ -34,6 +34,9 @@ class ConditionTransformer(nn.Module):
     pool: str = "mean"
     use_temporal_pe: bool = True
     text_attn_type: str = "none"
+    llm_weights_path: str = ""
+    lora_rank: int = 16
+    text_prompt_mask_pred: bool = True
     drag_num_points: int = 8
     drag_pre_layers: int = 1
     drag_mlp_layers: int = 3
@@ -76,7 +79,22 @@ class ConditionTransformer(nn.Module):
                 dtype=self.dtype,
             )
         if self.text_types:
-            if self.text_attn_type == "bow":
+            if self.text_attn_type == "llama":
+                from prosim_tpu.models.llm.llama import LlamaConfig
+                from prosim_tpu.models.llm.text_attn import LlamaTextAttn
+
+                llm_cfg = (
+                    LlamaConfig.llama3_8b(lora_rank=self.lora_rank)
+                    if self.llm_weights_path
+                    else LlamaConfig.tiny(lora_rank=self.lora_rank)
+                )
+                self.text_attn = LlamaTextAttn(
+                    hidden_dim=self.hidden_dim,
+                    llm_config=llm_cfg,
+                    prompt_mask_pred=self.text_prompt_mask_pred,
+                    dtype=self.dtype,
+                )
+            elif self.text_attn_type == "bow":
                 self.text_attn = BagOfTokensTextAttn(self.hidden_dim, dtype=self.dtype)
             else:
                 self.text_attn = NoTextAttn(self.hidden_dim, dtype=self.dtype)
@@ -124,6 +142,9 @@ def build_condition_transformer(config, dtype=jnp.float32) -> ConditionTransform
         pool=ct.COND_POOL_FUNC,
         use_temporal_pe=ct.USE_TEMPORAL_ENCODING,
         text_attn_type=ct.TEXT_ATTN.TYPE if text_types else "none",
+        llm_weights_path=ct.CONDITION_ENCODER.TEXT.LLM.WEIGHTS_PATH,
+        lora_rank=ct.TEXT_ATTN.LORA.R if ct.TEXT_ATTN.LORA.ENABLE else 0,
+        text_prompt_mask_pred=ct.CONDITION_ENCODER.TEXT.LLM.PROMPT_LOSS.PROMPT_MASK_PRED,
         drag_num_points=config.PROMPT.CONDITION.DRAG_POINT.MAX_POINTS,
         drag_pre_layers=ct.CONDITION_ENCODER.DRAG_POINTS.NUM_PRE_LAYERS,
         drag_mlp_layers=ct.CONDITION_ENCODER.DRAG_POINTS.NUM_MLP_LAYERS,

@@ -1,0 +1,219 @@
+"""Llama3 decoder in JAX with tensor-parallel sharding and LoRA.
+
+TPU-native replacement for the reference's HF torch Llama3-8B-Instruct text
+encoder (reference: prosim/models/condition_transformer/text_attns.py:78-543).
+The reference shards layers across GPUs with HF device_map='auto' (naive
+pipeline); here attention/MLP weights carry Megatron-style logical shardings
+over the mesh 'model' axis (qkv/gate/up column-split, o/down row-split) so an
+8B model runs tensor-parallel over ICI on a v5e-8.
+
+Architecture: RMSNorm, rotary embeddings, grouped-query attention, SwiGLU.
+`LlamaConfig.llama3_8b()` matches the released checkpoint; `tiny()` is for
+tests. LoRA adapters (q/k/v + embedding) follow the reference's PEFT setup
+(text_attns.py:96-120); base weights can be loaded frozen from converted
+checkpoints while only LoRA/adapter params train.
+"""
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128256
+    num_agent_tokens: int = 128  # extra <A{i}> tokens appended to the vocab
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    rope_theta: float = 500000.0
+    rms_eps: float = 1e-5
+    lora_rank: int = 0
+    lora_alpha: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def head_dim(self):
+        return self.hidden_size // self.num_heads
+
+    @property
+    def total_vocab(self):
+        return self.vocab_size + self.num_agent_tokens
+
+    @classmethod
+    def llama3_8b(cls, lora_rank=16):
+        return cls(lora_rank=lora_rank)
+
+    @classmethod
+    def tiny(cls, lora_rank=4):
+        return cls(
+            vocab_size=512,
+            num_agent_tokens=16,
+            hidden_size=64,
+            intermediate_size=128,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=2,
+            lora_rank=lora_rank,
+            dtype=jnp.float32,
+        )
+
+
+def _rope(x, positions, theta):
+    """x [B, T, H, D]; positions [B, T]."""
+    d = x.shape[-1]
+    freq = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
+    ang = positions[..., None].astype(jnp.float32) * freq  # [B, T, D/2]
+    cos, sin = jnp.cos(ang)[:, :, None, :], jnp.sin(ang)[:, :, None, :]
+    x1, x2 = x[..., 0::2], x[..., 1::2]
+    out = jnp.stack([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.reshape(x.shape)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        return (x * jax.lax.rsqrt(var + self.eps)).astype(self.dtype) * scale
+
+
+class LoraDense(nn.Module):
+    """Dense with optional LoRA: y = x W + (alpha/r) x A B; W frozen-able."""
+
+    features: int
+    lora_rank: int = 0
+    lora_alpha: float = 0.1
+    use_bias: bool = False
+    kernel_axes: tuple = (None, None)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.with_partitioning(
+                nn.initializers.lecun_normal(), self.kernel_axes
+            ),
+            (in_dim, self.features),
+        )
+        y = jnp.dot(x, kernel.astype(self.dtype))
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.lora_rank > 0:
+            a = self.param(
+                "lora_a", nn.initializers.normal(0.02), (in_dim, self.lora_rank)
+            )
+            b = self.param("lora_b", nn.initializers.zeros, (self.lora_rank, self.features))
+            y = y + jnp.dot(jnp.dot(x, a.astype(self.dtype)), b.astype(self.dtype)) * (
+                self.lora_alpha / self.lora_rank
+            )
+        return y
+
+
+class LlamaBlock(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, positions, attn_mask):
+        c = self.cfg
+        h = RMSNorm(c.rms_eps, c.dtype, name="input_norm")(x)
+
+        lora = dict(lora_rank=c.lora_rank, lora_alpha=c.lora_alpha, dtype=c.dtype)
+        q = LoraDense(c.num_heads * c.head_dim, kernel_axes=(None, "model"),
+                      name="q_proj", **lora)(h)
+        k = LoraDense(c.num_kv_heads * c.head_dim, kernel_axes=(None, "model"),
+                      name="k_proj", **lora)(h)
+        v = LoraDense(c.num_kv_heads * c.head_dim, kernel_axes=(None, "model"),
+                      name="v_proj", **lora)(h)
+        B, T = h.shape[:2]
+        q = _rope(q.reshape(B, T, c.num_heads, c.head_dim), positions, c.rope_theta)
+        k = _rope(k.reshape(B, T, c.num_kv_heads, c.head_dim), positions, c.rope_theta)
+        v = v.reshape(B, T, c.num_kv_heads, c.head_dim)
+
+        rep = c.num_heads // c.num_kv_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(c.head_dim).astype(c.dtype)
+        att = jnp.where(attn_mask[:, None], att, -1e30)
+        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(c.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, T, -1)
+        out = LoraDense(c.hidden_size, kernel_axes=("model", None),
+                        lora_rank=0, dtype=c.dtype, name="o_proj")(out)
+        x = x + out
+
+        h = RMSNorm(c.rms_eps, c.dtype, name="post_attn_norm")(x)
+        gate = LoraDense(c.intermediate_size, kernel_axes=(None, "model"),
+                         lora_rank=0, dtype=c.dtype, name="gate_proj")(h)
+        up = LoraDense(c.intermediate_size, kernel_axes=(None, "model"),
+                       lora_rank=0, dtype=c.dtype, name="up_proj")(h)
+        down = LoraDense(c.hidden_size, kernel_axes=("model", None),
+                         lora_rank=0, dtype=c.dtype, name="down_proj")(
+            nn.silu(gate) * up
+        )
+        return x + down
+
+
+class LlamaModel(nn.Module):
+    """Decoder stack returning final hidden states (no LM head needed for the
+    text-conditioning use)."""
+
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, input_ids=None, inputs_embeds=None, attention_mask=None,
+                 agent_embs=None, agent_slot_ids=None):
+        """Either input_ids or inputs_embeds. When (agent_embs [B,N,H],
+        agent_slot_ids [B,T]) are given, <A{i}> token embeddings are replaced
+        by the per-agent vectors (REPLACE_AGENT_TOKEN semantics)."""
+        c = self.cfg
+        embed = self.param(
+            "embed_tokens",
+            nn.with_partitioning(nn.initializers.normal(0.02), ("model", None)),
+            (c.total_vocab, c.hidden_size),
+        )
+        if inputs_embeds is None:
+            if agent_embs is not None and agent_slot_ids is not None:
+                inputs_embeds = embed_with_agent_tokens(
+                    embed.astype(c.dtype), input_ids,
+                    agent_embs.astype(c.dtype), agent_slot_ids,
+                )
+            else:
+                inputs_embeds = jnp.take(embed.astype(c.dtype), input_ids, axis=0)
+        x = inputs_embeds.astype(c.dtype)
+        B, T = x.shape[:2]
+        if attention_mask is None:
+            attention_mask = jnp.ones((B, T), bool)
+        positions = jnp.cumsum(attention_mask, axis=-1) - 1
+        causal = jnp.tril(jnp.ones((T, T), bool))
+        mask = causal[None] & attention_mask[:, None, :]
+
+        for i in range(c.num_layers):
+            x = LlamaBlock(c, name=f"layer_{i}")(x, positions, mask)
+        x = RMSNorm(c.rms_eps, c.dtype, name="final_norm")(x)
+        return x
+
+
+def embed_with_agent_tokens(embed_table, input_ids, agent_embs, agent_slot_ids):
+    """Token embeddings with <A{i}> rows replaced by per-agent vectors.
+
+    embed_table [V, H]; input_ids [B, T]; agent_embs [B, N, H] projected
+    policy embeddings; agent_slot_ids [B, T] = agent index at each position or
+    -1 (reference REPLACE_AGENT_TOKEN, text_attns.py:395-422).
+    """
+    base = jnp.take(embed_table, input_ids, axis=0)  # [B, T, H]
+    safe = jnp.clip(agent_slot_ids, 0, agent_embs.shape[1] - 1)
+    repl = jnp.take_along_axis(agent_embs, safe[..., None], axis=1)
+    return jnp.where((agent_slot_ids >= 0)[..., None], repl, base)

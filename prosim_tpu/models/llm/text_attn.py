@@ -1,0 +1,106 @@
+"""Llama text conditioning: natural-language prompts -> per-agent residuals.
+
+JAX equivalent of the reference LlamaTextAttn
+(reference: prosim/models/condition_transformer/text_attns.py:78-543):
+
+  1. project prompt/policy embeddings D -> hidden via `prompt_to_llm` + LN
+     (text_attns.py:63-64);
+  2. build token embeddings, replacing each <A{i}> special token with the
+     corresponding agent's projected embedding (REPLACE_AGENT_TOKEN,
+     text_attns.py:395-422);
+  3. one decoder forward over the batch of texts;
+  4. gather the last hidden state at every agent-token position, project back
+     via `llm_to_cond` 4096 -> D, residual-add onto the prompt condition
+     embedding (text_attns.py:424-543);
+  5. aux BCE `prompt_mask_pred` head predicting which agents the text
+     addresses (text_attns.py:467-496).
+
+Tokenization happens host-side (prosim_tpu.models.llm.tokenizer) so the
+device path keeps static [B, X, L] shapes.
+"""
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from prosim_tpu.core.registry import registry
+from prosim_tpu.data.batch import Prompt
+from prosim_tpu.models.llm.llama import LlamaConfig, LlamaModel, embed_with_agent_tokens
+
+
+@registry.register_text_attn(name="llama")
+class LlamaTextAttn(nn.Module):
+    hidden_dim: int               # policy embedding dim D
+    llm_config: LlamaConfig
+    replace_agent_token: bool = True
+    prompt_mask_pred: bool = True
+    detach_prompt_token: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.llm = LlamaModel(self.llm_config)
+        H = self.llm_config.hidden_size
+        self.prompt_to_llm = nn.Dense(H, dtype=self.dtype)
+        self.ln_prompt = nn.LayerNorm(dtype=self.dtype)
+        self.llm_to_cond = nn.Dense(self.hidden_dim, dtype=self.dtype)
+        if self.prompt_mask_pred:
+            self.mask_pred_head = nn.Dense(1, dtype=self.dtype)
+
+    def __call__(self, text_cond: Dict, prompt_cond_emb, prompt: Prompt,
+                 deterministic: bool = True) -> Tuple[jnp.ndarray, Optional[Dict]]:
+        """text_cond:
+          input_ids      [B, L] int32  (OneText: one concatenated text/scene)
+          token_mask     [B, L] bool
+          agent_slot_ids [B, L] int32  agent index at <A{i}> positions else -1
+          prompt_mask    [B, N] bool   agents the text addresses
+        """
+        ids = text_cond["input_ids"]
+        tok_mask = text_cond["token_mask"]
+        slot_ids = text_cond["agent_slot_ids"]
+
+        agent_in = prompt_cond_emb
+        if self.detach_prompt_token:
+            agent_in = jax.lax.stop_gradient(agent_in)
+        agent_llm = self.ln_prompt(self.prompt_to_llm(agent_in))  # [B, N, H]
+
+        if self.replace_agent_token:
+            hidden = self.llm(
+                ids, None, tok_mask, agent_embs=agent_llm, agent_slot_ids=slot_ids
+            )  # [B, L, H]
+        else:
+            hidden = self.llm(ids, None, tok_mask)
+
+        # scatter-back: mean of hidden states at each agent's token positions
+        B, L, H = hidden.shape
+        N = prompt_cond_emb.shape[1]
+        onehot = jax.nn.one_hot(
+            jnp.where(slot_ids >= 0, slot_ids, N), N + 1, dtype=hidden.dtype
+        )[..., :N]  # [B, L, N]
+        onehot = onehot * tok_mask[..., None]
+        counts = onehot.sum(axis=1)  # [B, N]
+        gathered = jnp.einsum("blh,bln->bnh", hidden.astype(jnp.float32), onehot)
+        gathered = gathered / jnp.clip(counts[..., None], 1, None)
+        addressed = counts > 0  # [B, N]
+
+        res = self.llm_to_cond(gathered.astype(self.dtype))  # [B, N, D]
+        out = jnp.where(
+            (addressed & prompt.mask)[..., None], prompt_cond_emb + res, prompt_cond_emb
+        )
+
+        aux = None
+        if self.prompt_mask_pred:
+            logits = self.mask_pred_head(res)[..., 0]  # [B, N]
+            target = text_cond["prompt_mask"].astype(jnp.float32)
+            bce = -(
+                target * jax.nn.log_sigmoid(logits)
+                + (1 - target) * jax.nn.log_sigmoid(-logits)
+            )
+            valid = prompt.mask
+            aux = {
+                "prompt_mask_pred_loss": jnp.where(valid, bce, 0.0).sum()
+                / jnp.clip(valid.sum(), 1, None)
+            }
+        return out, aux
+

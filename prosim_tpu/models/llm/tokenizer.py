@@ -1,0 +1,132 @@
+"""Host-side text tokenization for the LLM conditioning path.
+
+The device path needs static [B, L] int arrays; all string handling happens
+here. Agent references use the `<A{i}>` special-token template (reference:
+prosim/dataset/text_utils.py:1-2, tokenizer extension
+text_attns.py:122-155 - 128 agent tokens appended to the vocabulary, no
+BOS/EOS for the demo configuration).
+
+Two backends:
+  * HFTokenizer - a real Llama3 tokenizer loaded via transformers from a
+    local path (no network); exact id parity with the reference.
+  * ByteTokenizer - dependency-free fallback (UTF-8 bytes + agent tokens) so
+    the text pipeline runs end-to-end without tokenizer files.
+"""
+
+import re
+from typing import Dict, List, Optional
+
+import numpy as np
+
+AGENT_TEMPLATE = "<A{}>"
+MAX_AGENT_NUM = 128
+_AGENT_RE = re.compile(r"<A(\d+)>")
+
+
+class ByteTokenizer:
+    """UTF-8 byte-level tokenizer; agent token <A{i}> -> base_vocab + i."""
+
+    def __init__(self, base_vocab: int = 512, num_agent_tokens: int = MAX_AGENT_NUM):
+        self.base_vocab = base_vocab
+        self.num_agent_tokens = num_agent_tokens
+
+    @property
+    def vocab_size(self):
+        return self.base_vocab + self.num_agent_tokens
+
+    def encode(self, text: str) -> List[int]:
+        ids: List[int] = []
+        pos = 0
+        for m in _AGENT_RE.finditer(text):
+            ids.extend(b % self.base_vocab for b in text[pos:m.start()].encode())
+            ids.append(self.base_vocab + int(m.group(1)) % self.num_agent_tokens)
+            pos = m.end()
+        ids.extend(b % self.base_vocab for b in text[pos:].encode())
+        return ids
+
+    def agent_token_id(self, i: int) -> int:
+        return self.base_vocab + i
+
+
+class HFTokenizer:
+    """Llama3 tokenizer via transformers from a local directory, extended
+    with the 128 <A{i}> tokens (matching the reference's added-token layout:
+    agent token i gets id base_vocab + i)."""
+
+    def __init__(self, path: str, num_agent_tokens: int = MAX_AGENT_NUM,
+                 add_bos_eos: bool = False):
+        from transformers import AutoTokenizer
+
+        self.tok = AutoTokenizer.from_pretrained(path, local_files_only=True)
+        self.base_vocab = len(self.tok)
+        self.num_agent_tokens = num_agent_tokens
+        self.tok.add_special_tokens(
+            {"additional_special_tokens": [AGENT_TEMPLATE.format(i) for i in range(num_agent_tokens)]}
+        )
+        self.add_bos_eos = add_bos_eos
+
+    @property
+    def vocab_size(self):
+        return self.base_vocab + self.num_agent_tokens
+
+    def encode(self, text: str) -> List[int]:
+        return self.tok.encode(text, add_special_tokens=self.add_bos_eos)
+
+    def agent_token_id(self, i: int) -> int:
+        return self.tok.convert_tokens_to_ids(AGENT_TEMPLATE.format(i))
+
+
+def tokenize_batch(
+    tokenizer,
+    texts: List[str],
+    max_len: int,
+    num_agents: int,
+    prompt_masks: Optional[np.ndarray] = None,  # [B, N]
+) -> Dict[str, np.ndarray]:
+    """Texts -> static device arrays.
+
+    Returns input_ids [B, L], token_mask [B, L], agent_slot_ids [B, L]
+    (agent index at <A{i}> positions else -1), prompt_mask [B, N].
+    """
+    B = len(texts)
+    ids = np.zeros((B, max_len), np.int32)
+    mask = np.zeros((B, max_len), bool)
+    slots = -np.ones((B, max_len), np.int32)
+    pmask = (
+        prompt_masks.astype(bool)
+        if prompt_masks is not None
+        else np.zeros((B, num_agents), bool)
+    )
+
+    base = tokenizer.base_vocab
+    for b, text in enumerate(texts):
+        enc = tokenizer.encode(text)[:max_len]
+        n = len(enc)
+        ids[b, :n] = enc
+        mask[b, :n] = True
+        for j, t in enumerate(enc):
+            if t >= base:
+                a = t - base
+                if a < num_agents:
+                    slots[b, j] = a
+                    if prompt_masks is None:
+                        pmask[b, a] = True
+    return {
+        "input_ids": ids,
+        "token_mask": mask,
+        "agent_slot_ids": slots,
+        "prompt_mask": pmask,
+    }
+
+
+def build_text_prompt(agent_instructions: Dict[int, str]) -> str:
+    """Compose a OneText scene prompt from per-agent instructions, e.g.
+    {11: 'stop moving'} -> '<A11> stop moving.' (reference notebook helper
+    `text_control`, prosim_demo/text_prompt_inference.ipynb cell 1)."""
+    lines = []
+    for idx, instr in agent_instructions.items():
+        token = AGENT_TEMPLATE.format(idx)
+        if token not in instr:
+            instr = f"{token} {instr}"
+        lines.append(instr if instr.endswith(".") else instr + ".")
+    return "\n".join(lines)

@@ -200,9 +200,10 @@ class ProSim:
         return policy_emd
 
     # --------------------------------------------------------------- rollout
-    def forward(self, params, batch: SceneBatch, mode: str, rng):
-        """Full closed-loop pass. Returns output dict with stacked per-step
-        predictions and final rollout trajectories."""
+    def prepare(self, params, batch: SceneBatch, mode: str, rng):
+        """Encode scene + prompts and build per-agent policy embeddings
+        (the once-per-scene half of the pipeline; M replicas and repeated
+        rollouts reuse this)."""
         deterministic = mode != "train"
         rng, r_se, r_dec, sel_rng = jax.random.split(rng, 4)
         scene = self.encode_scene(params, batch, deterministic, r_se)
@@ -211,7 +212,21 @@ class ProSim:
             params, batch, scene, prompt_emb, deterministic, r_dec
         )
         policy_emd = self.select_k_emd(policy_emd, batch, mode, sel_rng)
+        return scene, policy_emd, prompt_loss_aux
 
+    def forward(self, params, batch: SceneBatch, mode: str, rng):
+        """Full closed-loop pass. Returns output dict with stacked per-step
+        predictions and final rollout trajectories."""
+        rng, prep_rng = jax.random.split(rng)
+        scene, policy_emd, prompt_loss_aux = self.prepare(params, batch, mode, prep_rng)
+        return self.rollout_scan(
+            params, batch, scene, policy_emd, mode, rng, prompt_loss_aux
+        )
+
+    def rollout_scan(self, params, batch: SceneBatch, scene, policy_emd,
+                     mode: str, rng, prompt_loss_aux=None):
+        """The closed loop itself: lax.scan over replan steps."""
+        deterministic = mode != "train"
         R = int(batch.fut_obs.feat.shape[1])
         total = self.hist_steps + R * self.replan
         traj, vel, init_pos, init_heading = self.init_agent_trajs(batch, total)
@@ -254,8 +269,13 @@ class ProSim:
                 axis=-1,
             )  # [B, N, Th, C_obs]
 
+            # NOTE: the traj buffer lives in each agent's init frame; going
+            # back to the scene frame requires rotating by init_heading. The
+            # reference skips this rotation during rollout (traj_sam.py:213)
+            # but applies it in its world conversion (gpu_utils.py:260); we
+            # use the geometrically consistent (rotated) form everywhere.
             last_pose = jax.lax.dynamic_index_in_dim(traj, cursor - 1, axis=2, keepdims=False)
-            pos_n = init_pos + last_pose[..., :2]
+            pos_n = init_pos + rotate_2d(last_pose[..., :2], init_heading)
             theta_n = wrap_angle(
                 jnp.arctan2(last_pose[..., 2], last_pose[..., 3]) + init_heading
             )
@@ -285,7 +305,7 @@ class ProSim:
 
         def agent_pose(traj, cursor):
             last = jax.lax.dynamic_index_in_dim(traj, cursor - 1, axis=2, keepdims=False)
-            pos = init_pos + last[..., :2]
+            pos = init_pos + rotate_2d(last[..., :2], init_heading)
             theta = wrap_angle(jnp.arctan2(last[..., 2], last[..., 3]) + init_heading)
             return pos, theta
 

@@ -50,21 +50,14 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch, mesh: Mesh, data_axis: str = "data"):
     """Place a SceneBatch so dim 0 of every batch-leading leaf is split over
-    `data`. Leaves without the scene axis (e.g. t_indices) are replicated."""
+    `data`. Per-batch constants (t_indices) are replicated."""
     sh = batch_sharding(mesh, data_axis)
     rep = replicated_sharding(mesh)
-    n_data = mesh.shape[data_axis]
-    b = batch.init_obs.feat.shape[0] if hasattr(batch, "init_obs") else None
-
-    def place(x):
-        is_batch_leaf = (
-            getattr(x, "ndim", 0) >= 1
-            and (b is None or x.shape[0] == b)
-            and x.shape[0] % n_data == 0
+    if hasattr(batch, "map_batch_leaves"):
+        return batch.map_batch_leaves(
+            lambda x: jax.device_put(x, sh), lambda x: jax.device_put(x, rep)
         )
-        return jax.device_put(x, sh if is_batch_leaf else rep)
-
-    return jax.tree.map(place, batch)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
 def replicate(tree, mesh: Mesh):

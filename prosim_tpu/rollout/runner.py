@@ -1,0 +1,109 @@
+"""Rollout evaluation runner: the WOSAC farm, TPU-native.
+
+The reference runs one process per scene with touch-file locking on a shared
+filesystem (reference: prosim/rollout/distributed_utils.py:95-226). Here the
+farm is deterministic index sharding: worker w of W handles scenes
+w, w+W, w+2W, ...; each device batch packs several scenes x M replicas into
+one compiled rollout. No locks, no IPC - re-running a worker is idempotent
+(it overwrites its own npz outputs).
+"""
+
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from prosim_tpu.data.dataset import ProSimImitationDataset
+from prosim_tpu.models.prosim import ProSim
+from prosim_tpu.rollout.rollout import parallel_rollout, rollout_to_world
+from prosim_tpu.rollout.wosac import (
+    ScenarioRollouts,
+    joint_scenes_from_rollout,
+    save_rollouts_npz,
+    validate_scenario_rollouts,
+)
+
+
+def run_rollout_eval(
+    config,
+    cache_dir: Optional[str] = None,
+    out_dir: Optional[str] = None,
+    worker_id: int = 0,
+    num_workers: int = 1,
+    m: Optional[int] = None,
+    params=None,
+    model: Optional[ProSim] = None,
+    max_scenes: Optional[int] = None,
+):
+    """Roll out M joint futures for every assigned scene and save world-frame
+    trajectories (npz per scene; see wosac.package_submission)."""
+    m = m or config.ROLLOUT.SAMPLE_NUM
+    out_dir = out_dir or os.path.join(
+        config.EXPERIMENT_DIR, config.EXPERIMENT_NAME, "rollouts"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    ds = ProSimImitationDataset(config, "rollout", cache_dir)
+    model = model or ProSim(config)
+
+    rng = jax.random.PRNGKey(config.SEED)
+    if params is None:
+        params = model.init(rng, ds.get_scene_batch(0))
+
+    roll = jax.jit(
+        lambda p, b, k: parallel_rollout(model, p, b, m, k),
+        static_argnames=(),
+    )
+
+    assigned = list(range(worker_id, len(ds), num_workers))
+    if max_scenes:
+        assigned = assigned[:max_scenes]
+
+    for count, idx in enumerate(assigned):
+        t0 = time.time()
+        env, scene_name, ts = ds.index[idx]
+        scene = ds._load(env, scene_name)
+        batch = ds.get_scene_batch(idx)
+
+        rng, sub = jax.random.split(rng)
+        out = roll(params, batch, sub)
+
+        ego = scene.states[scene.ego_index, ts]
+        center_xy = np.asarray(ego[:2], np.float32)[None]
+        center_h = np.asarray([ego[7]], np.float32)
+        world = rollout_to_world(
+            out,
+            batch,
+            np.repeat(center_xy, m, axis=0),
+            np.repeat(center_h, m, axis=0),
+        )  # [M, N, T, 3]
+
+        mask = np.asarray(batch.prompt.mask)[0]
+        world_np = np.asarray(world)[:, mask]
+
+        # agent z from the frame at scene_ts (planar policy)
+        meta = {}
+        from prosim_tpu.data.formatter import format_scene  # names
+
+        format_scene(scene, config, ts, "rollout", out_meta=meta)
+        names = meta["target_names"][: mask.sum()]
+        name_to_row = {n: i for i, n in enumerate(scene.agent_names)}
+        z = [float(np.nan_to_num(scene.states[name_to_row[n], ts, 2])) for n in names]
+        oid = [int(n) if n.isdigit() else -1 for n in names]
+
+        sr = ScenarioRollouts(
+            scenario_id=f"{env}/{scene_name}",
+            joint_scenes=joint_scenes_from_rollout(world_np, oid, z),
+        )
+        validate_scenario_rollouts(
+            sr, num_rollouts=m, steps=world_np.shape[2]
+        )
+        save_rollouts_npz(sr, os.path.join(out_dir, f"{env}__{scene_name}.npz"))
+        print(
+            f"[worker {worker_id}] scene {scene_name}: {mask.sum()} agents, "
+            f"M={m}, {time.time()-t0:.2f}s ({count+1}/{len(assigned)})",
+            flush=True,
+        )
+    return out_dir

@@ -1,0 +1,151 @@
+"""Training orchestration.
+
+JAX-native replacement for the reference's Lightning wiring
+(reference: prosim/trainer.py:35-327): builds the model/optimizer, shards
+batches over the device mesh, runs jitted train/eval steps, accumulates
+metrics with explicit reductions, checkpoints via orbax, and logs as JSONL
+(wandb-compatible key naming).
+
+Checkpoint/resume semantics follow the reference: save on every
+VAL_INTERVAL epoch + keep best by train/full_loss + save_last
+(reference: trainer.py:248-256, models/base.py:134-147).
+"""
+
+import json
+import os
+import time
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prosim_tpu.core.registry import registry
+from prosim_tpu.models.prosim import ProSim
+from prosim_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from prosim_tpu.train.metrics import compute_metrics, merge_metric_states
+from prosim_tpu.train.optim import build_optimizer
+from prosim_tpu.train.train_step import make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(self, config, model: Optional[ProSim] = None,
+                 mesh=None, log_path: Optional[str] = None):
+        self.config = config
+        self.model = model or ProSim(config)
+        self.mesh = mesh or make_mesh(
+            num_data=config.PARALLEL.NUM_DATA, num_model=config.PARALLEL.NUM_MODEL
+        )
+        self.run_dir = os.path.join(config.EXPERIMENT_DIR, config.EXPERIMENT_NAME)
+        os.makedirs(self.run_dir, exist_ok=True)
+        self.log_path = log_path or os.path.join(self.run_dir, "log.jsonl")
+        self.step = 0
+        self.best_loss = float("inf")
+
+        self.params = None
+        self.opt_state = None
+        self.optimizer = None
+        self._train_step = None
+        self._eval_step = None
+
+    # ----------------------------------------------------------------- setup
+    def setup(self, example_batch, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(self.config.SEED)
+        self.params = self.model.init(rng, example_batch)
+        self.optimizer = build_optimizer(self.config, self.params)
+        self.opt_state = self.optimizer.init(self.params)
+        self.params = replicate(self.params, self.mesh)
+        self.opt_state = replicate(self.opt_state, self.mesh)
+        self._train_step = jax.jit(
+            make_train_step(self.model, self.optimizer, self.config),
+            donate_argnums=(0, 1),
+        )
+        self._eval_step = jax.jit(make_eval_step(self.model, self.config))
+
+        if self.config.LOAD_CHECKPOINT_MODEL and self.config.LOAD_CHECKPOINT_PATH:
+            self.load_checkpoint(self.config.LOAD_CHECKPOINT_PATH)
+
+    # ------------------------------------------------------------------ train
+    def fit(self, train_batches: Iterator, val_batches=None,
+            max_steps: Optional[int] = None):
+        rng = jax.random.PRNGKey(self.config.SEED + 1)
+        t0 = time.time()
+        for epoch in range(self.config.MAX_EPOCHES):
+            for batch in train_batches() if callable(train_batches) else train_batches:
+                batch = shard_batch(batch, self.mesh)
+                rng, sub = jax.random.split(rng)
+                self.params, self.opt_state, losses = self._train_step(
+                    self.params, self.opt_state, batch, sub
+                )
+                self.step += 1
+                if self.step % 10 == 0 or max_steps:
+                    loss = float(losses["full_loss"])
+                    self.log({
+                        "step": self.step,
+                        "epoch": epoch,
+                        "train/full_loss": loss,
+                        "train/grad_norm": float(losses["grad_norm"]),
+                        "wall": time.time() - t0,
+                    })
+                    if self.config.SAVE_CHECKPOINT and loss < self.best_loss:
+                        self.best_loss = loss
+                        self.save_checkpoint("best")
+                if max_steps and self.step >= max_steps:
+                    break
+            if val_batches is not None and (epoch + 1) % self.config.VAL_INTERVAL == 0:
+                self.evaluate(val_batches)
+            if max_steps and self.step >= max_steps:
+                break
+        if self.config.SAVE_CHECKPOINT:
+            self.save_checkpoint("last")
+        return self.params
+
+    # ------------------------------------------------------------------- eval
+    def evaluate(self, val_batches) -> Dict[str, float]:
+        rng = jax.random.PRNGKey(0)
+        states = []
+        losses_acc = []
+        for batch in val_batches() if callable(val_batches) else val_batches:
+            batch = shard_batch(batch, self.mesh)
+            rng, sub = jax.random.split(rng)
+            losses, metric_state, _ = self._eval_step(self.params, batch, sub)
+            states.append(jax.tree.map(np.asarray, metric_state))
+            losses_acc.append(float(losses["full_loss"]))
+        metrics = compute_metrics(merge_metric_states(states)) if states else {}
+        metrics["val/full_loss"] = float(np.mean(losses_acc)) if losses_acc else float("nan")
+        self.log({"step": self.step, **{f"val/{k}": v for k, v in metrics.items()}})
+        return metrics
+
+    # ------------------------------------------------------------ checkpoints
+    def save_checkpoint(self, tag: str):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.run_dir, f"ckpt_{tag}"))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            path,
+            {
+                "params": jax.tree.map(np.asarray, self.params),
+                "step": self.step,
+            },
+            force=True,
+        )
+        ckptr.wait_until_finished()
+
+    def load_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        target = {
+            "params": jax.tree.map(np.asarray, self.params),
+            "step": 0,
+        }
+        restored = ckptr.restore(os.path.abspath(path), target)
+        self.params = replicate(restored["params"], self.mesh)
+        self.step = int(restored["step"])
+
+    # ---------------------------------------------------------------- logging
+    def log(self, record: Dict):
+        with open(self.log_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+        print(json.dumps(record), flush=True)

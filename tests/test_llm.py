@@ -1,0 +1,140 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from prosim_tpu.models.llm.llama import LlamaConfig, LlamaModel
+from prosim_tpu.models.llm.text_attn import LlamaTextAttn
+from prosim_tpu.models.llm.tokenizer import (
+    ByteTokenizer,
+    build_text_prompt,
+    tokenize_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_llm():
+    cfg = LlamaConfig.tiny()
+    model = LlamaModel(cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 10)))
+    mask = jnp.asarray(np.arange(10)[None] < np.array([[10], [6]]))
+    params = model.init(jax.random.PRNGKey(0), ids, None, mask)
+    return cfg, model, params, ids, mask
+
+
+def test_llama_forward_finite(tiny_llm):
+    cfg, model, params, ids, mask = tiny_llm
+    out = model.apply(params, ids, None, mask)
+    assert out.shape == (2, 10, cfg.hidden_size)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_llama_causality(tiny_llm):
+    """Changing a future token must not change past hidden states."""
+    cfg, model, params, ids, mask = tiny_llm
+    out1 = model.apply(params, ids, None, mask)
+    ids2 = ids.at[0, 7].set((int(ids[0, 7]) + 1) % cfg.vocab_size)
+    out2 = model.apply(params, ids2, None, mask)
+    np.testing.assert_allclose(
+        np.asarray(out1[0, :7]), np.asarray(out2[0, :7]), atol=1e-5
+    )
+    assert np.abs(np.asarray(out1[0, 7:10]) - np.asarray(out2[0, 7:10])).max() > 1e-4
+
+
+def test_llama_padding_invariance(tiny_llm):
+    cfg, model, params, ids, mask = tiny_llm
+    out1 = model.apply(params, ids, None, mask)
+    ids2 = ids.at[1, 6:].set(3)  # mutate only padded positions of row 1
+    out2 = model.apply(params, ids2, None, mask)
+    np.testing.assert_allclose(
+        np.asarray(out1[1, :6]), np.asarray(out2[1, :6]), atol=1e-5
+    )
+
+
+def test_lora_params_exist(tiny_llm):
+    cfg, model, params, *_ = tiny_llm
+    paths = ["/".join(str(getattr(k, "key", k)) for k in p)
+             for p, _ in jax.tree_util.tree_leaves_with_path(params)]
+    assert any("lora_a" in p for p in paths)
+    assert any("q_proj" in p for p in paths)
+
+
+def test_byte_tokenizer_agent_tokens():
+    tok = ByteTokenizer(base_vocab=512, num_agent_tokens=16)
+    text = build_text_prompt({3: "stop moving", 7: "turn left"})
+    assert "<A3>" in text and "<A7>" in text
+    enc = tok.encode(text)
+    assert tok.agent_token_id(3) in enc and tok.agent_token_id(7) in enc
+
+    batch = tokenize_batch(tok, [text, ""], max_len=64, num_agents=16)
+    assert batch["input_ids"].shape == (2, 64)
+    # slots mark the agent positions
+    s = batch["agent_slot_ids"][0]
+    assert 3 in s and 7 in s
+    assert batch["prompt_mask"][0, 3] and batch["prompt_mask"][0, 7]
+    assert not batch["token_mask"][1].any()
+
+
+def test_text_attn_end_to_end():
+    """Tokenize -> LlamaTextAttn -> only addressed agents' embeddings move."""
+    from prosim_tpu.data.batch import Prompt
+
+    cfg = LlamaConfig.tiny()
+    D, N, B = 16, 8, 1
+    tok = ByteTokenizer(base_vocab=cfg.vocab_size, num_agent_tokens=cfg.num_agent_tokens)
+    text = build_text_prompt({2: "stop moving", 5: "accelerate"})
+    tc = tokenize_batch(tok, [text], max_len=48, num_agents=N)
+    tc = {k: jnp.asarray(v) for k, v in tc.items()}
+
+    rng = np.random.default_rng(0)
+    prompt = Prompt(
+        feat=jnp.zeros((B, N, 7)),
+        mask=jnp.ones((B, N), bool),
+        pos=jnp.asarray(rng.normal(size=(B, N, 2)), jnp.float32),
+        ori=jnp.zeros((B, N)),
+        agent_type=jnp.ones((B, N), jnp.int32),
+        obs_index=jnp.arange(N, dtype=jnp.int32)[None],
+        extent=jnp.ones((B, N, 2)),
+        goal_point=jnp.zeros((B, N, 2)),
+    )
+    emb = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
+
+    mod = LlamaTextAttn(hidden_dim=D, llm_config=cfg)
+    params = mod.init(jax.random.PRNGKey(0), tc, emb, prompt)
+    out, aux = mod.apply(params, tc, emb, prompt)
+
+    delta = np.abs(np.asarray(out - emb)).max(axis=-1)[0]  # [N]
+    assert delta[2] > 1e-6 and delta[5] > 1e-6  # addressed agents move
+    untouched = [i for i in range(8) if i not in (2, 5)]
+    assert delta[untouched].max() == 0.0  # others unchanged
+    assert aux is not None and np.isfinite(float(aux["prompt_mask_pred_loss"]))
+
+
+def test_condition_transformer_with_llama_text():
+    """Full dispatcher: goal conditions + OneText through the tiny Llama."""
+    from prosim_tpu.config import get_config
+    from prosim_tpu.data.synthetic import make_synthetic_batch
+    from prosim_tpu.models.condition.transformer import build_condition_transformer
+
+    cfg = get_config(opts=[
+        "PROMPT.CONDITION.TYPES", "['goal', 'llm_text_OneText']",
+        "MODEL.HIDDEN_DIM", "32",
+        "MODEL.CONDITION_TRANSFORMER.NLAYER", "1",
+        "MODEL.CONDITION_TRANSFORMER.FF_DIM", "4",
+    ])
+    batch = make_synthetic_batch(cfg, batch_size=1, num_lanes=8, num_obs_agents=8,
+                                 num_agents=6, num_replan=2)
+    llm_cfg_tiny = LlamaConfig.tiny()
+    tok = ByteTokenizer(base_vocab=llm_cfg_tiny.vocab_size,
+                        num_agent_tokens=llm_cfg_tiny.num_agent_tokens)
+    tc = tokenize_batch(tok, [build_text_prompt({1: "slow down"})], 32, 6)
+    conditions = dict(batch.conditions)
+    conditions["llm_text_OneText"] = {k: jnp.asarray(v) for k, v in tc.items()}
+
+    ct = build_condition_transformer(cfg)
+    emb = jnp.zeros((1, 6, 32))
+    params = ct.init(jax.random.PRNGKey(0), conditions, emb, batch.prompt)
+    out, aux = ct.apply(params, conditions, emb, batch.prompt)
+    assert out.shape == (1, 6, 32)
+    assert np.isfinite(np.asarray(out)).all()
+    assert aux is not None

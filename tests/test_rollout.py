@@ -1,0 +1,110 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from prosim_tpu.config import get_config
+from prosim_tpu.data.synthetic import make_synthetic_batch
+from prosim_tpu.models.prosim import ProSim
+from prosim_tpu.rollout.rollout import (
+    parallel_rollout,
+    rollout_to_world,
+    tile_batch_for_replicas,
+    crash_and_goal_metrics,
+)
+
+SMALL_OPTS = [
+    "MODEL.SCENE_ENCODER.ATTN.NUM_LAYER", "2",
+    "MODEL.DECODER.ATTN.NUM_LAYER", "2",
+    "MODEL.POLICY.ACT_DECODER.ATTN.NUM_LAYER", "2",
+    "MODEL.HIDDEN_DIM", "32",
+    "MODEL.SCENE_ENCODER.ATTN.FF_DIM", "4",
+    "MODEL.DECODER.ATTN.FF_DIM", "4",
+    "MODEL.POLICY.ACT_DECODER.ATTN.FF_DIM", "4",
+    "MODEL.SCENE_ENCODER.ATTN.MAX_NUM_NEIGH", "8",
+    "MODEL.DECODER.ATTN.MAX_NUM_NEIGH", "8",
+    "MODEL.POLICY.ACT_DECODER.ATTN.MAX_NUM_NEIGH", "8",
+]
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    cfg = get_config(opts=SMALL_OPTS)
+    model = ProSim(cfg)
+    batch = make_synthetic_batch(
+        cfg, batch_size=2, num_lanes=16, num_obs_agents=10, num_agents=6, num_replan=2
+    )
+    params = model.init(jax.random.PRNGKey(0), batch)
+    return cfg, model, batch, params
+
+
+def test_tile_batch(ctx):
+    _, _, batch, _ = ctx
+    bm = tile_batch_for_replicas(batch, 3)
+    assert bm.init_obs.feat.shape[0] == 6
+    assert bm.io_pairs.t_indices.shape == batch.io_pairs.t_indices.shape
+    # replica rows of the same scene are identical
+    np.testing.assert_array_equal(
+        np.asarray(bm.init_obs.feat[0]), np.asarray(bm.init_obs.feat[1])
+    )
+
+
+def test_parallel_rollout_replicas_differ(ctx):
+    """M replicas share the encoding but must diverge stochastically when the
+    policy has multiple modes; with K=1 they are identical - verify shape and
+    consistency instead."""
+    cfg, model, batch, params = ctx
+    M = 2
+    out = parallel_rollout(model, params, batch, M, jax.random.PRNGKey(3))
+    B, N = batch.prompt.mask.shape
+    assert out["rollout_traj"].shape[0] == B * M
+    mask = np.asarray(batch.prompt.mask)
+    t0 = np.asarray(out["rollout_traj"])[0][mask[0]]
+    t1 = np.asarray(out["rollout_traj"])[1][mask[0]]
+    # K=1 deterministic policy -> replicas of the same scene agree
+    np.testing.assert_allclose(t0, t1, atol=1e-5)
+    # different scenes differ
+    t2 = np.asarray(out["rollout_traj"])[2][mask[1]]
+    assert t0.shape != t2.shape or np.abs(t0 - t2).max() > 1e-3
+
+
+def test_parallel_rollout_matches_plain_forward(ctx):
+    """M=1 parallel rollout must equal the plain forward pass given the same
+    rng stream structure."""
+    cfg, model, batch, params = ctx
+    out_m = parallel_rollout(model, params, batch, 1, jax.random.PRNGKey(9), mode="val")
+    out_f = model.forward(params, batch, "val", jax.random.PRNGKey(9))
+    np.testing.assert_allclose(
+        np.asarray(out_m["rollout_traj"]),
+        np.asarray(out_f["rollout_traj"]),
+        atol=1e-5,
+    )
+
+
+def test_rollout_to_world_roundtrip(ctx):
+    cfg, model, batch, params = ctx
+    out = model.forward(params, batch, "val", jax.random.PRNGKey(1))
+    B = batch.prompt.mask.shape[0]
+    center_xy = jnp.asarray(np.random.default_rng(0).normal(size=(B, 2)) * 100)
+    center_h = jnp.asarray(np.random.default_rng(1).normal(size=(B,)))
+    world = rollout_to_world(out, batch, center_xy, center_h)
+    assert world.shape == out["rollout_traj"].shape[:3] + (3,)
+    # identity transform keeps scene frame
+    world0 = rollout_to_world(out, batch, jnp.zeros((B, 2)), jnp.zeros((B,)))
+    xy_scene = np.asarray(world0[..., :2])
+    # agents end up near their init positions (bounded rollouts)
+    init = np.asarray(out["init_pos"])
+    mask = np.asarray(batch.prompt.mask)
+    assert np.abs(xy_scene[mask] - init[mask][:, None]).max() < 200
+
+
+def test_crash_and_goal_metrics_shapes(ctx):
+    cfg, model, batch, params = ctx
+    out = model.forward(params, batch, "val", jax.random.PRNGKey(1))
+    B = batch.prompt.mask.shape[0]
+    world = rollout_to_world(out, batch, jnp.zeros((B, 2)), jnp.zeros((B,)))
+    m = crash_and_goal_metrics(
+        world, batch.prompt.extent, batch.prompt.mask, batch.prompt.goal_point
+    )
+    assert 0.0 <= float(m["crash_rate"]) <= 1.0
+    assert 0.0 <= float(m["goal_reach_rate"]) <= 1.0
