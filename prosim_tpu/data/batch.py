@@ -100,6 +100,19 @@ class FutObs:
 
 
 @struct.dataclass
+class RoadEdges:
+    """Oriented road-edge segments in the scene frame (drivable area on the
+    LEFT of each segment direction). Sourced from dedicated Waymo road-edge
+    data when available, else approximated from outermost lane-edge polylines
+    (reference: prosim/loss/offroad_loss.py:55-203 consumes the same layout).
+    """
+
+    pts: jnp.ndarray    # [B, E, 2] segment starts
+    nxt: jnp.ndarray    # [B, E, 2] segment ends
+    valid: jnp.ndarray  # [B, E]
+
+
+@struct.dataclass
 class Condition:
     """One prompt-condition type, fixed-C padded
     (reference layout: prosim/dataset/condition_utils.py:126-447)."""
@@ -117,6 +130,7 @@ class SceneBatch:
     prompt: Prompt
     io_pairs: Optional[IOPairs] = None
     fut_obs: Optional[FutObs] = None
+    road_edges: Optional["RoadEdges"] = None
     conditions: Dict[str, Condition] = struct.field(default_factory=dict)
 
     @property

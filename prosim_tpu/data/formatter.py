@@ -29,6 +29,7 @@ from prosim_tpu.data.batch import (
     MapInputs,
     ObsInputs,
     Prompt,
+    RoadEdges,
     SceneBatch,
 )
 from prosim_tpu.data.trajdata_cache import SceneData, STATE_DIM, X, Y, VX, VY, AX, AY, H
@@ -186,6 +187,29 @@ def build_init_map(lane_vecs, config) -> MapInputs:
     return MapInputs(
         vectors=out[None], mask=mask[None], pos=pos[None], ori=ori[None]
     )
+
+
+def build_road_edges(lane_vecs, config, max_edges: int = 16384) -> RoadEdges:
+    """Scene-frame lane CENTER segments for the centerline offroad fallback
+    (offroad_loss_centerline). When dedicated Waymo road-edge data is present
+    (USE_WAYMO_ROAD_EDGE) the loader should instead emit true oriented road
+    edges and the signed-distance offroad loss applies."""
+    is_edge = lane_vecs[..., 4] == 1  # center segments
+    pts = lane_vecs[..., 0:2][is_edge]
+    nxt = lane_vecs[..., 2:4][is_edge]
+    if len(pts) > max_edges:
+        # stride-subsample to keep full-area coverage (segments are ~0.5 m,
+        # so skipping every other one barely changes nearest distances)
+        stride = int(np.ceil(len(pts) / max_edges))
+        pts, nxt = pts[::stride], nxt[::stride]
+    E = min(len(pts), max_edges)
+    out_p = np.zeros((max_edges, 2), np.float32)
+    out_n = np.zeros((max_edges, 2), np.float32)
+    out_v = np.zeros((max_edges,), bool)
+    out_p[:E] = pts[:E]
+    out_n[:E] = nxt[:E]
+    out_v[:E] = True
+    return RoadEdges(pts=out_p[None], nxt=out_n[None], valid=out_v[None])
 
 
 # --------------------------------------------------------------------- obs
@@ -464,12 +488,16 @@ def format_scene(scene: SceneData, config, scene_ts: int, split: str = "train",
         ).copy(),
     )
 
+    # road edges for the offroad loss (scene frame, from edge-type chunks)
+    road_edges = build_road_edges(lane_vecs, config)
+
     return SceneBatch(
         init_map=init_map,
         init_obs=init_obs,
         prompt=prompt,
         io_pairs=io_pairs,
         fut_obs=fut_obs,
+        road_edges=road_edges,
         conditions={},
     )
 

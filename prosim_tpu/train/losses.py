@@ -192,6 +192,62 @@ def paired_mse_k(batch, output, config) -> Dict[str, jnp.ndarray]:
         results.update(
             condition_type_breakdown(batch, per_agent)
         )
+
+        rcfg = config.LOSS.ROLLOUT_TRAJ
+        if rcfg.USE_OFFROAD_LOSS or rcfg.USE_COLLISION_LOSS:
+            # scene-frame rollout: rotate each agent's t=0 local frame out
+            base_pos = io.pos[:, 0]   # [B, N, 2]
+            base_ori = io.ori[:, 0]   # [B, N]
+            xy_s = rotate_2d(pred_rt[..., :2], base_ori[..., None]) + base_pos[..., None, :]
+            h_s = wrap_angle(pred_rt[..., 2] + base_ori[..., None])
+            traj_s = jnp.concatenate([xy_s, h_s[..., None]], axis=-1)
+            extents = io.extent[:, 0]
+            agent_ok = per_agent["agent_valid"]
+
+            if rcfg.USE_OFFROAD_LOSS and batch.road_edges is not None:
+                if config.DATASET.USE_WAYMO_ROAD_EDGE:
+                    from prosim_tpu.train.safety_losses import offroad_loss
+
+                    ol = offroad_loss(
+                        traj_s, extents, agent_ok,
+                        batch.road_edges.pts, batch.road_edges.nxt,
+                        batch.road_edges.valid,
+                        t_sample=rcfg.OFFROAD_T_SAMPLE_RATE,
+                    )
+                else:
+                    from prosim_tpu.train.safety_losses import offroad_loss_centerline
+
+                    gt_xy_s = rotate_2d(tgt_rt[..., :2], base_ori[..., None]) + base_pos[..., None, :]
+                    gt_h_s = wrap_angle(tgt_rt[..., 2] + base_ori[..., None])
+                    gt_s = jnp.concatenate([gt_xy_s, gt_h_s[..., None]], axis=-1)
+                    ol = offroad_loss_centerline(
+                        traj_s, extents, agent_ok,
+                        batch.road_edges.pts, batch.road_edges.nxt,
+                        batch.road_edges.valid,
+                        t_sample=rcfg.OFFROAD_T_SAMPLE_RATE,
+                        margin=rcfg.OFFROAD_MARGIN,
+                        gt_traj_xyh=gt_s,
+                    )
+                results["rollout_offroad_loss"] = ol
+                full = full + ol * rcfg.OFFROAD_WEIGHT
+
+            if rcfg.USE_COLLISION_LOSS:
+                from prosim_tpu.train.safety_losses import collision_loss
+
+                gt_xy_c = rotate_2d(tgt_rt[..., :2], base_ori[..., None]) + base_pos[..., None, :]
+                gt_h_c = wrap_angle(tgt_rt[..., 2] + base_ori[..., None])
+                gt_c = jnp.concatenate([gt_xy_c, gt_h_c[..., None]], axis=-1)
+                cl = collision_loss(
+                    traj_s, extents, agent_ok,
+                    agent_types=io.agent_type[:, 0],
+                    k=rcfg.COLLISION_K,
+                    t_sample=rcfg.COLLISION_T_SAMPLE_RATE,
+                    threshold=rcfg.COLLISION_THRESHOLD,
+                    vehicle_only=rcfg.COLLISION_VEHICLE_ONLY,
+                    gt_traj_xyh=gt_c,
+                )
+                results["rollout_collision_loss"] = cl
+                full = full + cl * rcfg.COLLISION_WEIGHT
     else:
         sl, _ = step_loss_k_way(tgt, tgt_valid, pred, prob, config)
         results.update({k: v for k, v in sl.items() if k != "full_loss"})
