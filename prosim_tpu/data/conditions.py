@@ -28,6 +28,12 @@ from prosim_tpu.data.motion_tags import (
     filter_to_interval,
     process_tags,
 )
+from prosim_tpu.data.text_conditions import (
+    build_one_text_condition,
+    concat_one_text,
+    goal_texts,
+    motion_tag_texts,
+)
 
 # hard-priority order between condition types: an agent already covered by an
 # earlier type is masked out of later types (reference: condition_utils.py:866-972)
@@ -48,6 +54,22 @@ class ConditionGenerator:
         self.cond_cfg = config.PROMPT.CONDITION
         self.split = split
         self.types = list(self.cond_cfg.TYPES)
+        self.text_types = [t for t in self.types if "OneText" in t]
+        self._tokenizer = None
+
+    def tokenizer(self):
+        if self._tokenizer is None:
+            llm_cfg = self.config.MODEL.CONDITION_TRANSFORMER.CONDITION_ENCODER.TEXT.LLM
+            from prosim_tpu.models.llm.tokenizer import ByteTokenizer, HFTokenizer
+
+            if llm_cfg.TOKENIZER_PATH:
+                self._tokenizer = HFTokenizer(
+                    llm_cfg.TOKENIZER_PATH, add_bos_eos=llm_cfg.ADD_BOS_EOS
+                )
+            else:
+                # matches LlamaConfig.tiny() used when no weights are set
+                self._tokenizer = ByteTokenizer(base_vocab=512, num_agent_tokens=128)
+        return self._tokenizer
 
     # ------------------------------------------------------------- builders
     def goal_condition(self, batch_np: dict, rng) -> dict:
@@ -191,7 +213,7 @@ class ConditionGenerator:
         for ctype in sorted(self.types, key=lambda t: PRIORITY_ORDER.index(t)
                             if t in PRIORITY_ORDER else 99):
             if "OneText" in ctype:
-                continue  # text path handled by the tokenizer pipeline
+                continue  # built after the non-text pass (needs `covered`)
             if ctype == "goal":
                 data = self.goal_condition(per_scene, rng)
             elif ctype == "v_action_tag":
@@ -231,4 +253,37 @@ class ConditionGenerator:
                 prompt_idx=_pad_c(data["prompt_idx"], C, fill=-1)[None].astype(np.int32),
                 prompt_mask=(pm & prompt_valid)[None],
             )
+
+        # ---- text (OneText) types (reference: condition_utils.py:449-545,750-794)
+        if self.text_types:
+            import random as _random
+
+            llm_cfg = self.config.MODEL.CONDITION_TRANSFORMER.CONDITION_ENCODER.TEXT.LLM
+            prng = _random.Random(int(rng.integers(0, 2**31)))
+            for ctype in self.text_types:
+                if ctype == "motion_tag_OneText":
+                    twv = motion_tag_texts(tags or [], agent_names_by_slot or [], prng)
+                elif ctype == "goal_OneText":
+                    twv = goal_texts(per_scene["goal"], prompt_valid)
+                elif ctype == "llm_text_OneText":
+                    twv = self._load_llm_texts(scene, agent_names_by_slot)
+                    if twv is None:
+                        # no released texts: fall back to templated tags so the
+                        # text path stays exercised
+                        twv = motion_tag_texts(tags or [], agent_names_by_slot or [], prng)
+                else:
+                    continue
+                if self.cond_cfg.USE_PRIORITY_MASK:
+                    twv = [(t, s) for t, s in twv if not covered[s]]
+                text, pmask = concat_one_text(twv, N_pad, rng=prng)
+                covered |= pmask
+                out[ctype] = build_one_text_condition(
+                    self.tokenizer(), [text], (pmask & prompt_valid)[None],
+                    max_len=llm_cfg.MAX_TEXT_TOKENS,
+                )
         return out
+
+    def _load_llm_texts(self, scene, agent_names_by_slot):
+        """Hook for the released prosim_instruct_520k text files; returns None
+        when unavailable (reference: dataset/data_utils.py:626-642)."""
+        return None

@@ -1,0 +1,155 @@
+"""Interactive inference API.
+
+User-facing helpers mirroring the reference demo notebooks
+(reference: prosim_demo/text_prompt_inference.ipynb cell 1 -
+`text_control` / `modify_batch_condition` / plotting):
+
+    sim = InteractiveSim(config, cache_dir)
+    sim.load_scene(0)
+    sim.set_text("stop moving", agents=[11, 12])       # language control
+    sim.set_goal(agent=3, xy=(40.0, 5.0))              # goal-point control
+    sim.set_drag_points(agent=5, points=[...])         # route sketch
+    out = sim.rollout()                                # closed loop, 8 s
+    sim.plot("scene.png", out)
+"""
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prosim_tpu.data.batch import Condition
+from prosim_tpu.data.dataset import ProSimImitationDataset
+from prosim_tpu.models.prosim import ProSim
+
+
+class InteractiveSim:
+    def __init__(self, config, cache_dir: str, split: str = "val",
+                 params=None, rng_seed: int = 0):
+        self.config = config
+        self.ds = ProSimImitationDataset(config, split, cache_dir)
+        self.model = ProSim(config)
+        self.rng = jax.random.PRNGKey(rng_seed)
+        self.params = params
+        self.batch = None
+        self._fwd = jax.jit(
+            lambda p, b, k: self.model.forward(p, b, "val", k)
+        )
+
+    # ------------------------------------------------------------- scenes
+    def load_scene(self, idx: int):
+        self.batch = self.ds.get_scene_batch(idx)
+        if self.params is None:
+            self.rng, sub = jax.random.split(self.rng)
+            self.params = self.model.init(sub, self.batch)
+        return self.batch
+
+    def load_checkpoint(self, path: str):
+        from prosim_tpu.utils.checkpoint_convert import load_reference_checkpoint
+
+        params, unmapped = load_reference_checkpoint(path)
+        if unmapped:
+            print(f"note: {len(unmapped)} checkpoint keys not mapped")
+        self.params = params
+
+    # ----------------------------------------------------------- controls
+    def _num_agents(self):
+        return self.batch.prompt.mask.shape[1]
+
+    def _cond_slots(self):
+        return self.config.DATASET.FORMAT.PAD.NUM_CONDS
+
+    def set_text(self, text: str, agents: Sequence[int]):
+        """Language control: '<Ai>'-reference the given agents
+        (reference `text_control`)."""
+        from prosim_tpu.models.llm.tokenizer import AGENT_TEMPLATE
+        from prosim_tpu.data.text_conditions import build_one_text_condition
+
+        gen = self.ds.cond_gen
+        llm_cfg = self.config.MODEL.CONDITION_TRANSFORMER.CONDITION_ENCODER.TEXT.LLM
+        if not any(AGENT_TEMPLATE.format(a) in text for a in agents):
+            text = " ".join(AGENT_TEMPLATE.format(a) for a in agents) + " " + text
+        N = self._num_agents()
+        pmask = np.zeros((1, N), bool)
+        pmask[0, list(agents)] = True
+        tc = build_one_text_condition(
+            gen.tokenizer(), [text], pmask, llm_cfg.MAX_TEXT_TOKENS
+        )
+        conds = dict(self.batch.conditions)
+        conds["llm_text_OneText"] = {k: jnp.asarray(v) for k, v in tc.items()}
+        self.batch = self.batch.replace(conditions=conds)
+
+    def set_goal(self, agent: int, xy: Tuple[float, float]):
+        """Goal-point control: (x, y) in the agent's local frame at t=0."""
+        N, C = self._num_agents(), self._cond_slots()
+        old = self.batch.conditions.get("goal")
+        if old is None:
+            feat = np.zeros((1, C, 3), np.float32)
+            mask = np.zeros((1, C), bool)
+            pidx = -np.ones((1, C, 1), np.int32)
+            pmask = np.zeros((1, N), bool)
+        else:
+            feat = np.asarray(old.feat).copy()
+            mask = np.asarray(old.mask).copy()
+            pidx = np.asarray(old.prompt_idx).copy()
+            pmask = np.asarray(old.prompt_mask).copy()
+        slot = int(np.argmin(mask[0])) if not mask[0].all() else 0
+        # reuse this agent's row when it already has a goal
+        for c in np.nonzero(mask[0])[0]:
+            if pidx[0, c, 0] == agent:
+                slot = c
+                break
+        horizon = self.config.ROLLOUT.POLICY.MAX_STEPS
+        feat[0, slot] = [xy[0], xy[1], float(horizon)]
+        mask[0, slot] = True
+        pidx[0, slot, 0] = agent
+        pmask[0, agent] = True
+        conds = dict(self.batch.conditions)
+        conds["goal"] = Condition(
+            feat=jnp.asarray(feat), mask=jnp.asarray(mask),
+            prompt_idx=jnp.asarray(pidx), prompt_mask=jnp.asarray(pmask),
+        )
+        self.batch = self.batch.replace(conditions=conds)
+
+    def set_drag_points(self, agent: int, points: Sequence[Tuple[float, float]]):
+        """Route-sketch control: waypoints in the agent's local frame."""
+        N, C = self._num_agents(), self._cond_slots()
+        P = self.config.PROMPT.CONDITION.DRAG_POINT.MAX_POINTS
+        old = self.batch.conditions.get("drag_point")
+        if old is None:
+            feat = np.full((1, C, P * 2), np.nan, np.float32)
+            mask = np.zeros((1, C), bool)
+            pidx = -np.ones((1, C, 1), np.int32)
+            pmask = np.zeros((1, N), bool)
+        else:
+            feat = np.asarray(old.feat).copy()
+            mask = np.asarray(old.mask).copy()
+            pidx = np.asarray(old.prompt_idx).copy()
+            pmask = np.asarray(old.prompt_mask).copy()
+        slot = int(np.argmin(mask[0])) if not mask[0].all() else 0
+        pts = np.full((P, 2), np.nan, np.float32)
+        pts[: min(len(points), P)] = np.asarray(points)[:P]
+        feat[0, slot] = pts.reshape(-1)
+        mask[0, slot] = True
+        pidx[0, slot, 0] = agent
+        pmask[0, agent] = True
+        conds = dict(self.batch.conditions)
+        conds["drag_point"] = Condition(
+            feat=jnp.asarray(feat), mask=jnp.asarray(mask),
+            prompt_idx=jnp.asarray(pidx), prompt_mask=jnp.asarray(pmask),
+        )
+        self.batch = self.batch.replace(conditions=conds)
+
+    def clear_conditions(self):
+        self.batch = self.batch.replace(conditions={})
+
+    # -------------------------------------------------------------- run
+    def rollout(self) -> Dict:
+        self.rng, sub = jax.random.split(self.rng)
+        return self._fwd(self.params, self.batch, sub)
+
+    def plot(self, path: str, output: Optional[Dict] = None, **kwargs) -> str:
+        from prosim_tpu.viz.plots import save_scene_png
+
+        return save_scene_png(self.batch, path, output=output, **kwargs)

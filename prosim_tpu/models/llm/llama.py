@@ -55,7 +55,7 @@ class LlamaConfig:
     def tiny(cls, lora_rank=4):
         return cls(
             vocab_size=512,
-            num_agent_tokens=16,
+            num_agent_tokens=128,
             hidden_size=64,
             intermediate_size=128,
             num_layers=2,

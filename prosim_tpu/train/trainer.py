@@ -112,7 +112,7 @@ class Trainer:
             states.append(jax.tree.map(np.asarray, metric_state))
             losses_acc.append(float(losses["full_loss"]))
         metrics = compute_metrics(merge_metric_states(states)) if states else {}
-        metrics["val/full_loss"] = float(np.mean(losses_acc)) if losses_acc else float("nan")
+        metrics["full_loss"] = float(np.mean(losses_acc)) if losses_acc else float("nan")
         self.log({"step": self.step, **{f"val/{k}": v for k, v in metrics.items()}})
         return metrics
 

@@ -1,0 +1,131 @@
+import numpy as np
+import pytest
+
+from prosim_tpu.config import get_config
+from prosim_tpu.data.motion_tags import (
+    MotionTag,
+    derive_motion_tags,
+    integrate_tags,
+    process_tags,
+    remove_short_tags,
+    resolve_conflicts,
+)
+from prosim_tpu.data.text_conditions import (
+    BUILTIN_TEMPLATES,
+    concat_one_text,
+    goal_texts,
+    motion_tag_texts,
+)
+
+
+def test_integrate_tags_merges_within_tolerance():
+    tags = [
+        MotionTag("Accelerate", ("a",), (0, 10)),
+        MotionTag("Accelerate", ("a",), (15, 30)),
+        MotionTag("Accelerate", ("a",), (60, 70)),
+    ]
+    out = integrate_tags(tags, tolerance=10)
+    intervals = sorted(t.interval for t in out)
+    assert intervals == [(0, 30), (60, 70)]
+
+
+def test_remove_short_tags():
+    tags = [MotionTag("LeftTurn", ("a",), (0, 5)), MotionTag("LeftTurn", ("a",), (0, 20))]
+    out = remove_short_tags(tags, min_duration=10)
+    assert len(out) == 1 and out[0].interval == (0, 20)
+
+
+def test_resolve_conflicts_priority():
+    # Parked outranks KeepSpeed inside the speed exclusion group
+    tags = [
+        MotionTag("KeepSpeed", ("a",), (0, 50)),
+        MotionTag("Parked", ("a",), (10, 30)),
+    ]
+    out = resolve_conflicts(tags)
+    parked = [t for t in out if t.tag == "Parked"]
+    keep = [t for t in out if t.tag == "KeepSpeed"]
+    assert parked[0].interval == (10, 30)
+    # KeepSpeed trimmed around the Parked interval
+    for t in keep:
+        s, e = t.interval
+        assert e <= 10 or s >= 30
+
+
+def test_derive_tags_on_synthetic_trajectories():
+    from prosim_tpu.data.trajdata_cache import STATE_DIM, VX, H
+
+    T = 60
+    dt = 0.1
+    states = np.zeros((3, T, STATE_DIM))
+    valid = np.ones((3, T), bool)
+    # agent 0: accelerating from 0 to 12 m/s
+    states[0, :, VX] = np.linspace(0.5, 12, T)
+    # agent 1: parked
+    states[1, :, VX] = 0.0
+    # agent 2: constant speed left turn
+    states[2, :, VX] = 8.0
+    states[2, :, H] = np.linspace(0, np.pi / 2, T)
+
+    tags = process_tags(
+        derive_motion_tags(states, valid, ["a0", "a1", "a2"], dt=dt),
+        tolerance=10, min_duration=10,
+    )
+    by_agent = {}
+    for t in tags:
+        by_agent.setdefault(t.agents[0], set()).add(t.tag)
+    assert "Accelerate" in by_agent["a0"]
+    assert by_agent["a1"] == {"Parked"}
+    assert "LeftTurn" in by_agent["a2"]
+    assert "RightTurn" not in by_agent.get("a2", set())
+
+
+def test_motion_tag_texts_and_one_text():
+    tags = [
+        MotionTag("LeftTurn", ("veh1",), (0, 20)),
+        MotionTag("Stopping", ("veh2",), (10, 40)),
+        MotionTag("Straight", ("ghost",), (0, 10)),  # not a target agent
+    ]
+    twv = motion_tag_texts(tags, ["veh1", "veh2"])
+    assert len(twv) == 2
+    assert any("<A0>" in t for t, _ in twv)
+    assert any("<A1>" in t for t, _ in twv)
+
+    text, pmask = concat_one_text(twv, num_agents=4)
+    assert pmask[0] and pmask[1] and not pmask[2]
+    assert "\n" in text
+
+
+def test_goal_texts_format():
+    goals = np.asarray([[10.5, -3.25], [0.0, 0.0]])
+    valid = np.asarray([True, False])
+    out = goal_texts(goals, valid)
+    assert len(out) == 1
+    assert "<A0>" in out[0][0] and "10.50" in out[0][0]
+
+
+def test_generator_builds_text_conditions():
+    import os
+
+    CACHE = "/root/reference/demo_dataset/trajdata_cache"
+    if not os.path.isdir(CACHE):
+        pytest.skip("demo cache absent")
+    from prosim_tpu.data.dataset import ProSimImitationDataset
+
+    cfg = get_config(opts=[
+        "DATASET.FORMAT.PAD.NUM_LANES", "128",
+        "DATASET.FORMAT.MAP.MAX_POINTS", "128",
+        "DATASET.SOURCE.VAL", "['waymo_train']",
+        "PROMPT.CONDITION.TYPES",
+        "['goal', 'v_action_tag', 'drag_point', 'llm_text_OneText']",
+    ])
+    ds = ProSimImitationDataset(cfg, "val", CACHE)
+    b = ds.get_scene_batch(0)
+    assert "llm_text_OneText" in b.conditions
+    tc = b.conditions["llm_text_OneText"]
+    assert tc["input_ids"].shape[0] == 1
+    assert bool(np.asarray(tc["token_mask"]).any())
+    # agent slots referenced in the text are inside the prompt set
+    slots = np.asarray(tc["agent_slot_ids"])
+    named = slots[slots >= 0]
+    assert (named < b.prompt.mask.shape[1]).all()
+    assert bool(np.asarray(tc["prompt_mask"]).any())
