@@ -25,11 +25,11 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lanes", type=int, default=2048)
     ap.add_argument("--obs-agents", type=int, default=160)
     ap.add_argument("--agents", type=int, default=128)
-    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
 

@@ -91,6 +91,44 @@ def vectorize_lanes(scene: SceneData, center_xy, center_h, scene_ts, config):
         np.linalg.norm(smap.lane_centers - np.asarray(center_xy), axis=-1) < lane_dist
     )
 
+    # native fast path: flatten parts and call the C++ data engine
+    from prosim_tpu import native as _native
+
+    if _native.available():
+        parts_pts, offsets, types_l, tls_l, rates_l = [], [0], [], [], []
+        total = 0
+        for li in np.nonzero(near)[0]:
+            lane = smap.lanes[li]
+            tls_v = smap.traffic_light_status(lane.lane_id, scene_ts)
+            for kind, pts_arr, rate in (
+                ("center", lane.center, map_cfg.CENTER_SAMPLE_RATE),
+                ("left_edge", lane.left_edge, map_cfg.EDGE_SAMPLE_RATE),
+                ("right_edge", lane.right_edge, map_cfg.EDGE_SAMPLE_RATE),
+            ):
+                if kind not in map_cfg.INCLUDE_TYPES or pts_arr is None:
+                    continue
+                parts_pts.append(pts_arr)
+                total += len(pts_arr)
+                offsets.append(total)
+                types_l.append(LANE_TYPE[kind])
+                tls_l.append(tls_v)
+                rates_l.append(rate)
+        if not parts_pts:
+            return np.zeros((0, max_pts - 1, 6), np.float32)
+        out = _native.vectorize_lanes_native(
+            np.concatenate(parts_pts, axis=0),
+            np.asarray(offsets, np.int64),
+            np.asarray(types_l, np.float32),
+            np.asarray(tls_l, np.float32),
+            np.asarray(rates_l, np.int64),
+            np.asarray(center_xy, np.float64),
+            float(center_h),
+            float(map_range),
+            int(max_pts),
+        )
+        if out is not None:
+            return out
+
     for li in np.nonzero(near)[0]:
         lane = smap.lanes[li]
         tls = smap.traffic_light_status(lane.lane_id, scene_ts)

@@ -24,6 +24,7 @@ from prosim_tpu.rollout.wosac import (
     save_rollouts_npz,
     validate_scenario_rollouts,
 )
+from prosim_tpu.rollout.wosac_metrics import aggregate_scenarios, scenario_metrics
 
 
 def run_rollout_eval(
@@ -36,6 +37,7 @@ def run_rollout_eval(
     params=None,
     model: Optional[ProSim] = None,
     max_scenes: Optional[int] = None,
+    compute_metrics: bool = True,
 ):
     """Roll out M joint futures for every assigned scene and save world-frame
     trajectories (npz per scene; see wosac.package_submission)."""
@@ -60,6 +62,7 @@ def run_rollout_eval(
     assigned = list(range(worker_id, len(ds), num_workers))
     if max_scenes:
         assigned = assigned[:max_scenes]
+    all_metrics = []
 
     for count, idx in enumerate(assigned):
         t0 = time.time()
@@ -101,9 +104,37 @@ def run_rollout_eval(
             sr, num_rollouts=m, steps=world_np.shape[2]
         )
         save_rollouts_npz(sr, os.path.join(out_dir, f"{env}__{scene_name}.npz"))
+
+        if compute_metrics:
+            # native realism metrics vs the logged future (reference farm
+            # computes official WOSAC metrics per scene, distributed_utils.py:205-223)
+            rows = [name_to_row[n] for n in names]
+            fut = scene.states[rows, ts + 1 : ts + 1 + world_np.shape[2]]
+            log_xyh = np.stack(
+                [np.nan_to_num(fut[..., 0]), np.nan_to_num(fut[..., 1]),
+                 np.nan_to_num(fut[..., 7])], axis=-1,
+            )
+            extents = np.nan_to_num(scene.extents[rows])
+            valid = scene.valid[rows, ts + 1 : ts + 1 + world_np.shape[2]]
+            metrics = scenario_metrics(world_np, log_xyh, extents, valid=valid)
+            import json
+
+            with open(os.path.join(out_dir, f"{env}__{scene_name}.metrics.json"), "w") as f:
+                json.dump(metrics, f, indent=2)
+            all_metrics.append(metrics)
+
         print(
             f"[worker {worker_id}] scene {scene_name}: {mask.sum()} agents, "
             f"M={m}, {time.time()-t0:.2f}s ({count+1}/{len(assigned)})",
             flush=True,
         )
+
+    if compute_metrics and all_metrics:
+        import json
+
+        agg = aggregate_scenarios(all_metrics)
+        with open(os.path.join(out_dir, "wosac_metrics.json"), "w") as f:
+            json.dump(agg, f, indent=2)
+        print("aggregate realism:", {k: round(v, 3) for k, v in agg.items()
+                                     if "/" not in k}, flush=True)
     return out_dir

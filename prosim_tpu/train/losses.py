@@ -67,11 +67,16 @@ def rollout_traj(traj, rollout_steps):
     return out
 
 
-def compute_rollout_loss(tgt_rt, pred_rt, step_valid, config):
-    """tgt_rt/pred_rt [B, N, T*, D], step_valid [B, N, T*] bool."""
+def compute_rollout_loss(tgt_rt, pred_rt, step_valid, config, gmm_params=None):
+    """tgt_rt/pred_rt [B, N, T*, D], step_valid [B, N, T*] bool. When the
+    policy emits GMM parameters the position term becomes the bivariate NLL
+    (reference: loss_func.py:322-326)."""
     crit = _criterion(config)
 
-    pos = crit(tgt_rt[..., :2], pred_rt[..., :2]).sum(-1)
+    if gmm_params is not None:
+        pos = gmm_nll(tgt_rt[..., :2], pred_rt[..., :2], gmm_params)
+    else:
+        pos = crit(tgt_rt[..., :2], pred_rt[..., :2]).sum(-1)
     tgt_h = jnp.stack([jnp.sin(tgt_rt[..., 2]), jnp.cos(tgt_rt[..., 2])], axis=-1)
     pred_h = jnp.stack([jnp.sin(pred_rt[..., 2]), jnp.cos(pred_rt[..., 2])], axis=-1)
     head = jnp.abs(tgt_h - pred_h).sum(-1)
@@ -253,6 +258,12 @@ def paired_mse_k(batch, output, config) -> Dict[str, jnp.ndarray]:
         results.update({k: v for k, v in sl.items() if k != "full_loss"})
         full = full + sl["full_loss"]
 
+    if config.LOSS.GOAL_DIST_PRED.ENABLE and "goal_point" in output:
+        gls = goal_prob_pred_loss(batch, output, config)
+        results.update(gls)
+        if "goal_dist_all" in gls:
+            full = full + gls["goal_dist_all"] * config.LOSS.GOAL_DIST_PRED.WEIGHT
+
     if config.LOSS.ROLLOUT_TRAJ.USE_GOAL_PRED_LOSS and "reconst_pred" in output:
         goal_losses = goal_recon_loss(batch, output, config)
         goal_all = jnp.asarray(0.0)
@@ -323,3 +334,64 @@ def condition_type_breakdown(batch, per_agent):
 loss_func_dict = {
     "paired_mse_k": paired_mse_k,
 }
+
+
+def gmm_nll(tgt_xy, pred_xy, gmm_params, log_std_range=(-1.609, 5.0), rho_limit=0.5):
+    """Bivariate Gaussian NLL (MTR-style, reference: loss_func.py:37-75).
+
+    tgt_xy/pred_xy [..., 2]; gmm_params [..., 3] = (log_std1, log_std2, rho).
+    """
+    res = tgt_xy - pred_xy
+    dx, dy = res[..., 0], res[..., 1]
+    log_std1 = jnp.clip(gmm_params[..., 0], *log_std_range)
+    log_std2 = jnp.clip(gmm_params[..., 1], *log_std_range)
+    std1, std2 = jnp.exp(log_std1), jnp.exp(log_std2)
+    rho = jnp.clip(gmm_params[..., 2], -rho_limit, rho_limit)
+    log_coef = log_std1 + log_std2 + 0.5 * jnp.log(1 - rho ** 2)
+    expo = (0.5 / (1 - rho ** 2)) * (
+        (dx / std1) ** 2 + (dy / std2) ** 2 - 2 * rho * dx * dy / (std1 * std2)
+    )
+    return log_coef + expo
+
+
+def goal_prob_pred_loss(batch, output, config):
+    """K-way goal distribution loss (reference: loss_func.py:556-607):
+    cross-entropy toward the goal hypothesis nearest to GT + huber on that
+    hypothesis + variance/entropy regularizers."""
+    if "goal_point" not in output:
+        return {}
+    goal_point = output["goal_point"]   # [B, N, K, 2]
+    goal_prob = output["goal_prob"]     # [B, N, K]
+    gt = batch.io_pairs.goal[:, 0]      # [B, N, 2]
+    mask = batch.io_pairs.mask[:, 0] & batch.prompt.mask
+
+    dist = jnp.linalg.norm(goal_point - gt[:, :, None], axis=-1)  # [B, N, K]
+    sel = jnp.argmin(dist, axis=-1)
+
+    logp = jax.nn.log_softmax(goal_prob, axis=-1)
+    ce = -jnp.take_along_axis(logp, sel[..., None], axis=-1)[..., 0]
+    denom = jnp.clip(mask.sum(), 1, None)
+    prob_loss = jnp.where(mask, ce, 0.0).sum() / denom
+
+    best = jnp.take_along_axis(goal_point, sel[..., None, None], axis=2)[:, :, 0]
+    delta = config.LOSS.TRAJ_CRITERION.HUBER_DELTA
+    point = huber(best, gt, delta).mean(-1)
+    point_loss = jnp.where(mask, point, 0.0).sum() / denom
+
+    # spread regularizer: keep hypotheses diverse
+    var = jnp.var(goal_point, axis=2).mean(-1)
+    logvar = jnp.log(jnp.where(mask, var, 1.0) + 1e-6)
+    neg_logvar = -(jnp.where(mask, logvar, 0.0).sum() / denom)
+
+    p = jax.nn.softmax(goal_prob, axis=-1)
+    ent = -(p * jnp.log(p + 1e-6)).sum(-1)
+    entropy = jax.lax.stop_gradient(jnp.where(mask, ent, 0.0).sum() / denom)
+
+    full = point_loss + prob_loss
+    return {
+        "goal_dist_prob_loss": prob_loss,
+        "goal_dist_point_loss": point_loss,
+        "goal_dist_neg_logvar": neg_logvar,
+        "goal_dist_entropy": entropy,
+        "goal_dist_all": full,
+    }

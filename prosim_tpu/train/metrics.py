@@ -99,3 +99,25 @@ def merge_metric_states(states):
 
 def compute_metrics(state):
     return {k: float(s) / max(float(c), 1.0) for k, (s, c) in state.items()}
+
+
+@registry.register_metric(name="debug")
+def debug_metric_update(batch, output, config):
+    """No-op metric (reference: prosim/metrics/base.py:66)."""
+    import jax.numpy as jnp
+
+    return {"count": (jnp.asarray(0.0), jnp.asarray(1.0))}
+
+
+@registry.register_metric(name="ego_traj_pred")
+def ego_traj_pred_update(batch, output, config):
+    """Ego-only ADE/FDE (reference: motion_pred.py:77). Ego occupies target
+    slot 0 by construction of the formatter."""
+    state = pair_traj_pred_update(batch, output, config)
+    return {f"ego_{k}": v for k, v in state.items() if "rollout" not in k}
+
+
+@registry.register_metric(name="all_traj_pred")
+def all_traj_pred_update(batch, output, config):
+    """All-agent ADE/FDE over chunk predictions (reference: motion_pred.py:88)."""
+    return pair_traj_pred_update(batch, output, config)

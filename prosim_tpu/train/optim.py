@@ -64,6 +64,14 @@ def build_optimizer(config, params) -> optax.GradientTransformation:
         mk_sched = lambda lr: warmup_cos2_schedule(
             lr, sched_cfg.WARMUP_STEPS, sched_cfg.MAX_STEPS
         )
+    elif sched_cfg.TYPE == "MultiStepLR":
+        mk_sched = lambda lr: optax.piecewise_constant_schedule(
+            lr,
+            {int(s): 0.1 for s in getattr(sched_cfg, "MILESTONES", [])} or
+            {sched_cfg.MAX_STEPS // 2: 0.1},
+        )
+    elif sched_cfg.TYPE == "CosineAnnealingLR":
+        mk_sched = lambda lr: optax.cosine_decay_schedule(lr, sched_cfg.MAX_STEPS)
     else:
         mk_sched = lambda lr: lr
 

@@ -144,6 +144,22 @@ class Trainer:
         self.params = replicate(restored["params"], self.mesh)
         self.step = int(restored["step"])
 
+    # -------------------------------------------------------------- profiling
+    def profile(self, batch, steps: int = 3, out_dir: Optional[str] = None):
+        """Capture a jax profiler trace of the train step (replaces the
+        reference's Lightning simple profiler, prosim/trainer.py:104)."""
+        out_dir = out_dir or os.path.join(self.run_dir, "profile")
+        rng = jax.random.PRNGKey(0)
+        batch = shard_batch(batch, self.mesh)
+        with jax.profiler.trace(out_dir):
+            for i in range(steps):
+                rng, sub = jax.random.split(rng)
+                self.params, self.opt_state, losses = self._train_step(
+                    self.params, self.opt_state, batch, sub
+                )
+            jax.block_until_ready(losses["full_loss"])
+        return out_dir
+
     # ---------------------------------------------------------------- logging
     def log(self, record: Dict):
         with open(self.log_path, "a") as f:

@@ -134,3 +134,23 @@ def test_collate_two_scenes():
     batch = collate([ds.get_scene_batch(0), ds.get_scene_batch(1)])
     assert batch.init_obs.feat.shape[0] == 2
     assert batch.io_pairs.t_indices.shape == (8,)
+
+
+def test_native_lane_vectorization_parity(scene0):
+    """The C++ data-engine path must match the numpy path bit-for-bit."""
+    from prosim_tpu import native
+    from prosim_tpu.data import formatter as F
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    cfg = get_config(opts=SMALL)
+    ego = scene0.states[scene0.ego_index, 10]
+    out_native = F.vectorize_lanes(scene0, ego[:2], ego[7], 10, cfg)
+    saved = (native._build_failed, native._lib)
+    try:
+        native._build_failed, native._lib = True, None
+        out_py = F.vectorize_lanes(scene0, ego[:2], ego[7], 10, cfg)
+    finally:
+        native._build_failed, native._lib = saved
+    assert out_native.shape == out_py.shape
+    np.testing.assert_array_equal(out_native, out_py)

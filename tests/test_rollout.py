@@ -108,3 +108,24 @@ def test_crash_and_goal_metrics_shapes(ctx):
     )
     assert 0.0 <= float(m["crash_rate"]) <= 1.0
     assert 0.0 <= float(m["goal_reach_rate"]) <= 1.0
+
+
+def test_wosac_metrics_rank_replay_above_noise():
+    import numpy as np
+    from prosim_tpu.rollout.wosac_metrics import scenario_metrics, aggregate_scenarios
+
+    rng = np.random.default_rng(0)
+    N, T, M = 6, 40, 8
+    t = np.arange(T) * 0.1
+    log = np.zeros((N, T, 3))
+    for n in range(N):
+        log[n, :, 0] = rng.uniform(3, 12) * t
+        log[n, :, 1] = n * 4.0
+    ext = np.tile([[4.5, 2.0]], (N, 1))
+    simA = log[None] + rng.normal(scale=0.15, size=(M, N, T, 3)) * [1, 1, 0.01]
+    simB = np.cumsum(rng.normal(scale=1.2, size=(M, N, T, 3)), axis=2)
+    mA = scenario_metrics(simA, log, ext)
+    mB = scenario_metrics(simB, log, ext)
+    assert 0 <= mB["composite"] < mA["composite"] <= 1.0
+    agg = aggregate_scenarios([mA, mB])
+    assert "composite" in agg
