@@ -1,0 +1,145 @@
+"""Pallas TPU kernel: masked nearest-neighbor top-K selection.
+
+The XLA path (ops/neighbors.py) materializes the full [B, Q, S] squared
+distance matrix in HBM and sorts it with lax.top_k - at the scene-encoder
+scale (S ~ 2200 tokens, B = 16) that is ~300 MB of HBM traffic per graph
+build. This kernel tiles queries into VMEM, computes distances on the fly
+and extracts the K nearest by iterative masked argmin, so the distance
+matrix never exists in HBM.
+
+Semantics match neighbor_topk: invalid sources/destinations and
+out-of-radius pairs are excluded; ties resolve to the lower source index
+(matching lax.top_k's stable ordering); output is [B, Q, K] int32 indices +
+validity mask.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e30
+_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def pallas_topk_supported(s: int, k: int, q_tile: int = 128) -> bool:
+    """Mosaic stack-allocates the eviction loop's temporaries per iteration;
+    stay inside the scoped-VMEM budget (~6 live [q_tile, s] f32 temps per of
+    the k iterations, empirically)."""
+    per_iter = 6 * q_tile * s * 4
+    return per_iter * k < _VMEM_BUDGET
+
+
+def neighbor_topk_auto(dst_pos, src_pos, dst_mask, src_mask, k,
+                       radius=None, q_tile=128):
+    """Pallas kernel when its VMEM envelope allows, else the XLA path."""
+    from prosim_tpu.ops.neighbors import neighbor_topk
+
+    s = src_pos.shape[1]
+    if pallas_topk_supported(s, min(k, s), q_tile) and jax.default_backend() == "tpu":
+        return neighbor_topk_pallas(dst_pos, src_pos, dst_mask, src_mask, k,
+                                    radius=radius, q_tile=q_tile)
+    return neighbor_topk(dst_pos, src_pos, dst_mask, src_mask, k, radius=radius)
+
+
+def _topk_kernel(dst_ref, src_ref, idx_ref, val_ref, *, k, radius2):
+    # packed layout: [..., 0:2] = xy, [..., 2] = validity, [..., 3] = pad
+    dst = dst_ref[0]                      # [TQ, 4]
+    src = src_ref[0]                      # [S, 4]
+    tq, s = dst.shape[0], src.shape[0]
+
+    dx = dst[:, 0:1] - src[:, 0][None, :]  # [TQ, S]
+    dy = dst[:, 1:2] - src[:, 1][None, :]
+    d2 = dx * dx + dy * dy
+
+    ok = (src[:, 2][None, :] > 0.5) & (dst[:, 2][:, None] > 0.5)
+    if radius2 is not None:
+        ok = ok & (d2 <= radius2)
+    d2 = jnp.where(ok, d2, _BIG)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, s), 1)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
+
+    def body(i, carry):
+        d2c, idx_acc, val_acc = carry
+        m = jnp.min(d2c, axis=1)                           # [TQ]
+        is_min = d2c == m[:, None]
+        arg = jnp.min(jnp.where(is_min, col, s), axis=1)   # [TQ] ties -> low idx
+        safe = jnp.where(arg >= s, 0, arg).astype(jnp.int32)
+        hit = kcol == i
+        idx_acc = jnp.where(hit, safe[:, None], idx_acc)
+        val_acc = jnp.where(hit, (m < _BIG)[:, None].astype(jnp.int32), val_acc)
+        d2c = jnp.where(col == arg[:, None], _BIG, d2c)
+        return d2c, idx_acc, val_acc
+
+    _, idx_acc, val_acc = jax.lax.fori_loop(
+        0, k, body,
+        (d2, jnp.zeros((tq, k), jnp.int32), jnp.zeros((tq, k), jnp.int32)),
+    )
+    idx_ref[0] = idx_acc
+    val_ref[0] = val_acc
+
+
+@functools.partial(jax.jit, static_argnames=("k", "radius", "q_tile", "interpret"))
+def neighbor_topk_pallas(dst_pos, src_pos, dst_mask, src_mask, k,
+                         radius=None, q_tile=128, interpret=False):
+    """Drop-in replacement for ops.neighbors.neighbor_topk (no exclude_self).
+
+    dst_pos [B, Q, 2], src_pos [B, S, 2], dst_mask [B, Q], src_mask [B, S].
+    Returns idx [B, Q, K] int32, valid [B, Q, K] bool.
+    """
+    b, q, _ = dst_pos.shape
+    s = src_pos.shape[1]
+    eff_k = min(k, s)
+    q_tile = min(q_tile, q)
+    q_pad = (-q) % q_tile
+    if q_pad:
+        dst_pos = jnp.pad(dst_pos, ((0, 0), (0, q_pad), (0, 0)))
+        dst_mask = jnp.pad(dst_mask, ((0, 0), (0, q_pad)))
+    qp = q + q_pad
+
+    dst_packed = jnp.concatenate(
+        [dst_pos.astype(jnp.float32), dst_mask.astype(jnp.float32)[..., None],
+         jnp.zeros((b, qp, 1), jnp.float32)], axis=-1)
+    src_packed = jnp.concatenate(
+        [src_pos.astype(jnp.float32), src_mask.astype(jnp.float32)[..., None],
+         jnp.zeros((b, s, 1), jnp.float32)], axis=-1)
+
+    grid = (b, qp // q_tile)
+    kernel = functools.partial(
+        _topk_kernel, k=eff_k,
+        radius2=None if radius is None else float(radius) ** 2,
+    )
+    idx, valid_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_tile, 4), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, 4), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, q_tile, eff_k), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_tile, eff_k), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, qp, eff_k), jnp.int32),
+            jax.ShapeDtypeStruct((b, qp, eff_k), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET,
+        ),
+        interpret=interpret,
+    )(dst_packed, src_packed)
+
+    idx, valid = idx[:, :q], valid_i[:, :q].astype(bool)
+    if eff_k < k:
+        pad = k - eff_k
+        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, pad)))
+        valid = jnp.pad(valid, ((0, 0), (0, 0), (0, pad)))
+    return idx, valid

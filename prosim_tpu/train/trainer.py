@@ -165,3 +165,23 @@ class Trainer:
         with open(self.log_path, "a") as f:
             f.write(json.dumps(record) + "\n")
         print(json.dumps(record), flush=True)
+        if self._wandb_run is not None:
+            self._wandb_run.log(record, step=record.get("step"))
+
+    _wandb_run = None
+
+    def enable_wandb(self, **init_kwargs):
+        """Optional wandb mirror of the JSONL log (reference logs everything
+        to wandb, prosim/trainer.py:227-242). No-op if wandb is absent."""
+        try:
+            import wandb
+
+            self._wandb_run = wandb.init(
+                project=self.config.WANDB_PROJ,
+                name=self.config.EXPERIMENT_NAME,
+                config=self.config.to_dict(),
+                **init_kwargs,
+            )
+        except Exception as e:  # pragma: no cover
+            print(f"wandb unavailable: {e}")
+            self._wandb_run = None

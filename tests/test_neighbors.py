@@ -91,3 +91,34 @@ def test_topk_k_exceeds_sources():
     assert idx.shape == (1, 6, 10) and valid.shape == (1, 6, 10)
     assert np.asarray(valid)[0, 0].sum() == 4  # only 4 valid sources
     assert not np.asarray(valid)[0, :, 6:].any()
+
+
+def test_pallas_topk_interpret_parity():
+    """Pallas kernel semantics (interpret mode on CPU) vs the XLA path."""
+    from prosim_tpu.ops.pallas_topk import neighbor_topk_pallas
+
+    rng = np.random.default_rng(3)
+    B, S, K = 2, 96, 8
+    pos = jnp.asarray(rng.normal(size=(B, S, 2)).astype(np.float32) * 50)
+    mask = jnp.asarray(rng.random((B, S)) > 0.15)
+    i1, v1 = neighbor_topk(pos, pos, mask, mask, k=K)
+    i2, v2 = neighbor_topk_pallas(pos, pos, mask, mask, K, q_tile=32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    # neighbor sets agree by distance (tie order may differ)
+    p = np.asarray(pos)
+    for b in range(B):
+        for q in range(0, S, 7):
+            d1 = np.sort(np.linalg.norm(p[b, np.asarray(i1)[b, q][np.asarray(v1)[b, q]]] - p[b, q], axis=-1))
+            d2 = np.sort(np.linalg.norm(p[b, np.asarray(i2)[b, q][np.asarray(v2)[b, q]]] - p[b, q], axis=-1))
+            np.testing.assert_allclose(d1, d2, atol=1e-5)
+
+
+def test_pallas_topk_radius_interpret():
+    from prosim_tpu.ops.pallas_topk import neighbor_topk_pallas
+
+    pos = jnp.asarray([[[0.0, 0.0], [0.5, 0.0], [2.0, 0.0], [0.0, 0.9]]])
+    mask = jnp.ones((1, 4), bool)
+    idx, valid = neighbor_topk_pallas(pos, pos, mask, mask, 4, radius=1.0,
+                                      q_tile=4, interpret=True)
+    got = set(np.asarray(idx)[0, 0][np.asarray(valid)[0, 0]].tolist())
+    assert got == {0, 1, 3}
