@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--agents", type=int, default=128)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--mode", default="rollout", choices=["rollout", "train"],
+                    help="closed-loop inference or full training step")
+    ap.add_argument("--real-data", action="store_true",
+                    help="use demo trajdata-cache scenes instead of synthetic")
+    ap.add_argument("--cache-dir",
+                    default="/root/reference/demo_dataset/trajdata_cache")
     args = ap.parse_args()
 
     from prosim_tpu.config import get_config
@@ -46,33 +52,65 @@ def main():
     ])
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = ProSim(config, dtype=dtype)
-    batch = make_synthetic_batch(
-        config,
-        batch_size=args.batch,
-        num_lanes=args.lanes,
-        num_obs_agents=args.obs_agents,
-        num_agents=args.agents,
-        num_replan=8,
-    )
-    params = model.init(jax.random.PRNGKey(0), batch)
+    if args.real_data:
+        import os
 
-    fwd = jax.jit(lambda p, b, k: model.forward(p, b, "rollout", k)["rollout_traj"])
+        from prosim_tpu.data.dataset import ProSimImitationDataset
+        from prosim_tpu.data.formatter import collate
+
+        env = "waymo_train"
+        cfg2 = config.clone()
+        cfg2.defrost()
+        cfg2.DATASET.SOURCE.VAL = [env]
+        cfg2.freeze()
+        ds = ProSimImitationDataset(cfg2, "val", args.cache_dir)
+        singles = [ds.get_scene_batch(i % len(ds)) for i in range(args.batch)]
+        batch = collate(singles)
+    else:
+        batch = make_synthetic_batch(
+            config,
+            batch_size=args.batch,
+            num_lanes=args.lanes,
+            num_obs_agents=args.obs_agents,
+            num_agents=args.agents,
+            num_replan=8,
+        )
+    params = model.init(jax.random.PRNGKey(0), batch)
     key = jax.random.PRNGKey(1)
 
-    out = fwd(params, batch, key)
-    jax.block_until_ready(out)  # compile + warmup
+    if args.mode == "train":
+        from prosim_tpu.train.optim import build_optimizer
+        from prosim_tpu.train.train_step import make_train_step
 
-    t0 = time.perf_counter()
-    for i in range(args.iters):
-        out = fwd(params, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+        optimizer = build_optimizer(config, params)
+        opt_state = optimizer.init(params)
+        step = jax.jit(make_train_step(model, optimizer, config))
+        params, opt_state, losses = step(params, opt_state, batch, key)
+        jax.block_until_ready(losses["full_loss"])
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            params, opt_state, losses = step(
+                params, opt_state, batch, jax.random.fold_in(key, i)
+            )
+        jax.block_until_ready(losses["full_loss"])
+        dt = time.perf_counter() - t0
+        metric = "train_scenes_per_sec_per_chip"
+    else:
+        fwd = jax.jit(lambda p, b, k: model.forward(p, b, "rollout", k)["rollout_traj"])
+        out = fwd(params, batch, key)
+        jax.block_until_ready(out)  # compile + warmup
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            out = fwd(params, batch, jax.random.fold_in(key, i))
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        metric = "closed_loop_scene_rollouts_per_sec_per_chip"
 
     scenes_per_sec = args.batch * args.iters / dt
     print(
         json.dumps(
             {
-                "metric": "closed_loop_scene_rollouts_per_sec_per_chip",
+                "metric": metric,
                 "value": round(scenes_per_sec, 3),
                 "unit": "scenes/s",
                 "vs_baseline": round(scenes_per_sec / TARGET_PER_CHIP, 3),

@@ -96,3 +96,13 @@ class ProSimImitationDataset:
         for i in range(0, len(order) - (batch_size - 1 if drop_last else 0), batch_size):
             idxs = order[i : i + batch_size]
             yield collate([self.get_scene_batch(int(j)) for j in idxs])
+
+
+@registry.register_dataset(name="prosim")
+class ProSimDataset(ProSimImitationDataset):
+    """Base dataset registry entry (reference: prosim/dataset/basic.py:48).
+
+    The reference's agent-centric variant differs only data-side (one element
+    per agent instead of per scene); the scene-centric padded formatting here
+    covers both training modes, so this is the same pipeline under the
+    reference's other registered name."""

@@ -153,3 +153,11 @@ class InteractiveSim:
         from prosim_tpu.viz.plots import save_scene_png
 
         return save_scene_png(self.batch, path, output=output, **kwargs)
+
+    def animate(self, path: str, output: Optional[Dict] = None, **kwargs) -> str:
+        """Save a GIF animation of a rollout (runs one if not provided)."""
+        from prosim_tpu.viz.plots import save_rollout_gif
+
+        if output is None:
+            output = self.rollout()
+        return save_rollout_gif(self.batch, output, path, **kwargs)

@@ -184,6 +184,18 @@ class LlamaModel(nn.Module):
             nn.with_partitioning(nn.initializers.normal(0.02), ("model", None)),
             (c.total_vocab, c.hidden_size),
         )
+        if c.lora_rank > 0:
+            # LoRA on the embedding table (reference LoRA targets
+            # q/k/v/embed_tokens, text_attns.py:96-120): W + (a/r) A @ B
+            la = self.param(
+                "lora_embed_a", nn.initializers.normal(0.02),
+                (c.total_vocab, c.lora_rank),
+            )
+            lb = self.param(
+                "lora_embed_b", nn.initializers.zeros,
+                (c.lora_rank, c.hidden_size),
+            )
+            embed = embed + (c.lora_alpha / c.lora_rank) * (la @ lb)
         if inputs_embeds is None:
             if agent_embs is not None and agent_slot_ids is not None:
                 inputs_embeds = embed_with_agent_tokens(

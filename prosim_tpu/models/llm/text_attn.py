@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from prosim_tpu.core.registry import registry
 from prosim_tpu.data.batch import Prompt
 from prosim_tpu.models.llm.llama import LlamaConfig, LlamaModel, embed_with_agent_tokens
+from prosim_tpu.ops.mlp import MLP
 
 
 @registry.register_text_attn(name="llama")
@@ -42,11 +43,20 @@ class LlamaTextAttn(nn.Module):
     def setup(self):
         self.llm = LlamaModel(self.llm_config)
         H = self.llm_config.hidden_size
-        self.prompt_to_llm = nn.Dense(H, dtype=self.dtype)
+        # 2-layer projection MLPs matching the reference layout so converted
+        # checkpoints load leaf-for-leaf (text_attns.py:63-67,74)
+        self.prompt_to_llm = MLP(
+            [self.hidden_dim, self.hidden_dim, H], ret_before_act=True, dtype=self.dtype
+        )
         self.ln_prompt = nn.LayerNorm(dtype=self.dtype)
-        self.llm_to_cond = nn.Dense(self.hidden_dim, dtype=self.dtype)
+        self.llm_to_cond = MLP(
+            [H, self.hidden_dim, self.hidden_dim], ret_before_act=True, dtype=self.dtype
+        )
         if self.prompt_mask_pred:
-            self.mask_pred_head = nn.Dense(1, dtype=self.dtype)
+            self.mask_pred_head = MLP(
+                [self.hidden_dim, 1], ret_before_act=True, without_norm=True,
+                dtype=self.dtype,
+            )
 
     def __call__(self, text_cond: Dict, prompt_cond_emb, prompt: Prompt,
                  deterministic: bool = True) -> Tuple[jnp.ndarray, Optional[Dict]]:

@@ -40,7 +40,8 @@ class PolicyRelPE(nn.Module):
     motion_k: int
     pred_steps: int
     state_dim: int         # 3 (x,y,h) or 5 (+xd,yd); +3 if GMM
-    pred_mode: str         # 'anchor' | 'mlp'
+    pred_mode: str         # 'anchor' | 'mlp' | 'cluster'
+    cluster_goals: tuple = ()  # K (x, y) goal anchors for 'cluster' mode
     pred_gmm: bool = False
     use_ped_cycl: bool = True
     context_goal: bool = False
@@ -56,6 +57,10 @@ class PolicyRelPE(nn.Module):
         if self.context_goal:
             in_dim = self.hidden_dim if self.context_pose_emb else 2
             self.goal_encoder = MLP([in_dim, self.hidden_dim], dtype=self.dtype)
+            if self.context_pose_emb:
+                self.goal_pose_pe = FourierEmbeddingFix(
+                    num_pos_feats=self.hidden_dim // 2
+                )
             if self.context_emd:
                 self.context_fuse = MLP([self.hidden_dim * 2, self.hidden_dim], dtype=self.dtype)
 
@@ -82,11 +87,19 @@ class PolicyRelPE(nn.Module):
                 [self.hidden_dim, self.hidden_dim, self.hidden_dim // 2, self.motion_k * out_dim],
                 ret_before_act=True, dtype=self.dtype,
             )
-        else:  # anchor
-            num_types = 3 if self.use_ped_cycl else 1
-            self.motion_anchors = nn.Embed(
-                self.motion_k * num_types, self.hidden_dim, dtype=self.dtype
-            )
+        else:  # anchor / cluster (reference: act_decoder.py:65-74)
+            if self.pred_mode == "cluster":
+                self.cluster_mlp = MLP(
+                    [self.hidden_dim, self.hidden_dim], dtype=self.dtype
+                )
+                self.cluster_goal_pe = FourierEmbeddingFix(
+                    num_pos_feats=self.hidden_dim // 2
+                )
+            else:
+                num_types = 3 if self.use_ped_cycl else 1
+                self.motion_anchors = nn.Embed(
+                    self.motion_k * num_types, self.hidden_dim, dtype=self.dtype
+                )
             self.cg_decode = ContextGating(3, self.hidden_dim, dtype=self.dtype)
             self.motion_head = MLP(
                 [self.hidden_dim, self.hidden_dim, self.hidden_dim // 2, out_dim],
@@ -103,7 +116,7 @@ class PolicyRelPE(nn.Module):
         if self.context_goal and "goal" in policy_emd:
             goal = policy_emd["goal"]
             if self.context_pose_emb:
-                goal = FourierEmbeddingFix(num_pos_feats=self.hidden_dim // 2)(goal)
+                goal = self.goal_pose_pe(goal)
             ctx.append(self.goal_encoder(goal))
         if self.context_emd:
             ctx.append(policy_emd["emd"])
@@ -167,10 +180,20 @@ class PolicyRelPE(nn.Module):
         if self.pred_mode == "mlp":
             motion = self.motion_head(pred_feat).reshape(B, N, K, S, self.state_dim)
         else:
-            # per-type anchor bank: anchor id = (type - 1) * K + k
-            type_base = (jnp.maximum(agent_type, 1) - 1) * K if self.use_ped_cycl else jnp.zeros_like(agent_type)
-            anchor_ids = type_base[..., None] + jnp.arange(K)  # [B, N, K]
-            anchor_emb = self.motion_anchors(anchor_ids)       # [B, N, K, D]
+            if self.pred_mode == "cluster":
+                # fixed Fourier PE of k-means goal anchors, shared across
+                # agents (reference: act_decoder.py:69-73,104-106)
+                goals = jnp.asarray(self.cluster_goals, dtype=self.dtype)
+                goals_pe = self.cluster_goal_pe(goals)
+                anchor_emb = jnp.broadcast_to(
+                    self.cluster_mlp(goals_pe)[None, None],
+                    (B, N, K, self.hidden_dim),
+                )
+            else:
+                # per-type anchor bank: anchor id = (type - 1) * K + k
+                type_base = (jnp.maximum(agent_type, 1) - 1) * K if self.use_ped_cycl else jnp.zeros_like(agent_type)
+                anchor_ids = type_base[..., None] + jnp.arange(K)  # [B, N, K]
+                anchor_emb = self.motion_anchors(anchor_ids)       # [B, N, K, D]
             ones = jnp.ones((B, N, K), bool)
             pred_emd, _ = self.cg_decode(anchor_emb, pred_feat, ones)
             motion = self.motion_head(pred_emd).reshape(B, N, K, S, self.state_dim)
@@ -195,6 +218,16 @@ def build_policy(config, dtype=jnp.float32) -> PolicyRelPE:
     state_dim = len(config.DATASET.FORMAT.TARGET.ELEMENTS.split(","))
     if ad.TRAJ.PRED_GMM:
         state_dim += 3
+    cluster_goals = ()
+    if ad.TRAJ.PRED_MODE == "cluster":
+        import numpy as np
+
+        goals = np.load(ad.TRAJ.CLUSTER_PATH).astype("float32")
+        if goals.shape[0] != ad.TRAJ.K:
+            raise ValueError(
+                f"cluster file has {goals.shape[0]} goals but TRAJ.K={ad.TRAJ.K}"
+            )
+        cluster_goals = tuple(map(tuple, goals.tolist()))
     return PolicyRelPE(
         hidden_dim=mc.HIDDEN_DIM,
         num_layers=attn.NUM_LAYER,
@@ -210,6 +243,7 @@ def build_policy(config, dtype=jnp.float32) -> PolicyRelPE:
         pred_steps=config.DATASET.FORMAT.TARGET.STEPS,
         state_dim=state_dim,
         pred_mode=ad.TRAJ.PRED_MODE,
+        cluster_goals=cluster_goals,
         pred_gmm=ad.TRAJ.PRED_GMM,
         use_ped_cycl=config.DATASET.USE_PED_CYCLIST,
         context_goal=ad.CONTEXT.GOAL,

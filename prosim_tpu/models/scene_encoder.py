@@ -41,6 +41,75 @@ class MapEncoderPointNet(nn.Module):
         return emb, m.token_mask  # [B, L, D], [B, L]
 
 
+def _masked_pool(x, mask, pool: str):
+    """Pool [..., T, D] over T with [..., T] mask; 'mean' zeroes empty rows,
+    'max' uses -1e9 fill (reference: map_encoder.py:33-48, obs_encoder.py:38-54)."""
+    if pool == "mean":
+        x = jnp.where(mask[..., None], x, 0.0)
+        cnt = jnp.clip(mask.sum(-1, keepdims=True), 1, None)
+        out = x.sum(-2) / cnt
+        return jnp.where(mask.any(-1, keepdims=True), out, 0.0)
+    if pool == "max":
+        return jnp.where(mask[..., None], x, -1e9).max(-2)
+    raise NotImplementedError(f"pool '{pool}'")
+
+
+class MapEncoderMLP(nn.Module):
+    """Lane 4-d segment MLP + lane-type / traffic-light embeddings, masked
+    pool over segments (reference: map_encoder.py:5-65). Consumes the first
+    6 channels of the padded map vectors [x0,y0,x1,y1,type,tls]."""
+
+    hidden_dim: int
+    pool: str = "max"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, m: MapInputs):
+        vec = m.vectors
+        polyline = vec[..., :4]
+        ptype = vec[..., 4].astype(jnp.int32)
+        ptraf = vec[..., 5].astype(jnp.int32) + 1
+
+        lane_enc = MLP(
+            [4, 256, 512, self.hidden_dim], ret_before_act=True,
+            dtype=self.dtype, name="lane_encode",
+        )(polyline)
+        lane_enc = (
+            lane_enc
+            + nn.Embed(4, self.hidden_dim, dtype=self.dtype, name="type_embedding")(ptype)
+            + nn.Embed(4, self.hidden_dim, dtype=self.dtype, name="traf_embedding")(ptraf)
+        )
+        lane_enc = _masked_pool(lane_enc, m.mask, self.pool)  # [B, L, D]
+        return lane_enc, m.token_mask
+
+
+class ObsEncoderMLP(nn.Module):
+    """Per-step history MLP with masked pool over time, or flattened-history
+    MLP when pool='none' (reference: obs_encoder.py:19-74)."""
+
+    hidden_dim: int
+    in_dim: int
+    hist_steps: int
+    pool: str = "max"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, step_mask):
+        feat = jnp.where(step_mask[..., None], feat, 0.0)
+        if self.pool == "none":
+            B, A = feat.shape[:2]
+            enc = MLP(
+                [self.hist_steps * self.in_dim, self.hidden_dim // 2, self.hidden_dim],
+                ret_before_act=True, dtype=self.dtype, name="hist_encoder",
+            )(feat.reshape(B, A, -1))
+            return enc, step_mask.all(axis=-1)
+        enc = MLP(
+            [self.in_dim, self.hidden_dim // 2, self.hidden_dim],
+            ret_before_act=True, dtype=self.dtype, name="hist_encoder",
+        )(feat)
+        return _masked_pool(enc, step_mask, self.pool), step_mask.any(axis=-1)
+
+
 class ObsEncoderPointNet(nn.Module):
     hidden_dim: int
     num_pre_layers: int
@@ -79,20 +148,36 @@ class SceneEncoderAttnRelPE(nn.Module):
     obs_mlp_layers: int
     map_in_dim: int = 11
     obs_in_dim: int = 24
+    map_type: str = "pointnet"   # 'pointnet' | 'mlp'
+    obs_type: str = "pointnet"   # 'pointnet' | 'mlp'
+    hist_steps: int = 11
+    map_pool: str = "max"
+    obs_pool: str = "max"
     obs_fusion: str = "replace"  # 'replace' | 'mlp'
     attn_update: bool = False
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.map_encoder = MapEncoderPointNet(
-            self.hidden_dim, self.map_pre_layers, self.map_mlp_layers,
-            in_dim=self.map_in_dim, dtype=self.dtype,
-        )
-        self.obs_encoder = ObsEncoderPointNet(
-            self.hidden_dim, self.obs_pre_layers, self.obs_mlp_layers,
-            in_dim=self.obs_in_dim, dtype=self.dtype,
-        )
+        if self.map_type == "mlp":
+            self.map_encoder = MapEncoderMLP(
+                self.hidden_dim, pool=self.map_pool, dtype=self.dtype
+            )
+        else:
+            self.map_encoder = MapEncoderPointNet(
+                self.hidden_dim, self.map_pre_layers, self.map_mlp_layers,
+                in_dim=self.map_in_dim, dtype=self.dtype,
+            )
+        if self.obs_type == "mlp":
+            self.obs_encoder = ObsEncoderMLP(
+                self.hidden_dim, in_dim=self.obs_in_dim,
+                hist_steps=self.hist_steps, pool=self.obs_pool, dtype=self.dtype,
+            )
+        else:
+            self.obs_encoder = ObsEncoderPointNet(
+                self.hidden_dim, self.obs_pre_layers, self.obs_mlp_layers,
+                in_dim=self.obs_in_dim, dtype=self.dtype,
+            )
         self.a2a_pe = RelPE(self.hidden_dim, self.learnable_pe, self.pe_num_freq, dtype=self.dtype)
         self.s2s_pe = RelPE(self.hidden_dim, self.learnable_pe, self.pe_num_freq, dtype=self.dtype)
         self.a2a_layers = [
@@ -248,6 +333,11 @@ def build_scene_encoder(config, dtype=jnp.float32) -> SceneEncoderAttnRelPE:
         obs_mlp_layers=mc.OBS_ENCODER.POINTNET.NUM_MLP_LAYERS,
         map_in_dim=map_in,
         obs_in_dim=obs_in,
+        map_type=mc.SCENE_ENCODER.MAP_TYPE,
+        obs_type=mc.SCENE_ENCODER.OBS_TYPE,
+        map_pool=mc.MAP_ENCODER.MLP.POOL,
+        obs_pool=mc.OBS_ENCODER.MLP.POOL,
+        hist_steps=config.DATASET.FORMAT.HISTORY.STEPS,
         obs_fusion=mc.OBS_UPDATE.FUSION,
         attn_update=mc.OBS_UPDATE.ATTN_UPDATE,
         dropout=attn.DROPOUT,

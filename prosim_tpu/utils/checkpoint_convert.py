@@ -191,6 +191,58 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
                  "linear" if sub == "dense" else "norm")
             continue
 
+        # --- text/LLM subsystem (text_attns.py:63-74 projections; peft LoRA
+        # keys kept by on_save_checkpoint, models/base.py:134-139) ---
+        m = re.match(
+            r"condition_transformers\.(\w+)\.text_attn\.(.+)$", key
+        )
+        if m:
+            loc, rest = m.group(1), m.group(2)
+            base = (f"condition_transformer_{loc}", "text_attn")
+            hit = None
+            for torch_name, flax_name, wn in (
+                ("prompt_to_llm", "prompt_to_llm", False),
+                ("llm_to_cond", "llm_to_cond", False),
+                ("prompt_mask_pred", "mask_pred_head", True),
+            ):
+                mm = re.match(rf"{torch_name}\.(.+)$", rest)
+                if mm:
+                    hit = _map_mlp_key(mm.group(1), without_norm=wn)
+                    if hit:
+                        sub, leaf = hit
+                        _put(params, base + (flax_name, sub), leaf, value,
+                             "linear" if "dense" in sub else "norm")
+                    break
+            if hit:
+                continue
+            mm = re.match(r"ln_prompt\.(weight|bias)$", rest)
+            if mm:
+                _put(params, base + ("ln_prompt",), mm.group(1), value, "norm")
+                continue
+            # peft LoRA: lora_A [r, in] / lora_B [out, r] -> lora_a [in, r] /
+            # lora_b [r, out]
+            mm = re.match(
+                r"llm_model\.(?:base_model\.model\.)?model\.layers\.(\d+)\."
+                r"self_attn\.([qkv]_proj)\.lora_(A|B)\.(?:default\.)?weight$",
+                rest,
+            )
+            if mm:
+                layer, proj, ab = mm.groups()
+                leaf = "lora_a" if ab == "A" else "lora_b"
+                _put(params, base + ("llm", f"layer_{layer}", proj),
+                     leaf, value.T, "raw")
+                continue
+            mm = re.match(
+                r"llm_model\.(?:base_model\.model\.)?model\.embed_tokens\."
+                r"lora_embedding_(A|B)(?:\.default)?$",
+                rest,
+            )
+            if mm:
+                # peft embedding LoRA: A [r, V], B [H, r] -> [V, r] / [r, H]
+                leaf = "lora_embed_a" if mm.group(1) == "A" else "lora_embed_b"
+                _put(params, base + ("llm",), leaf, value.T, "raw")
+                continue
+
         unmapped.append(key)
 
     if strict and unmapped:

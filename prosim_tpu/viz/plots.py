@@ -118,3 +118,51 @@ def save_scene_png(batch, path, **kwargs):
 
     plt.close(fig)
     return path
+
+def save_rollout_gif(batch, output, path, bidx=0, stride=2, fps=10, **kwargs):
+    """Animate a closed-loop rollout as a GIF (reference wandb gif logging,
+    models/utils/visualization.py:303-329): map + GT futures stay static,
+    agent boxes move along the rolled-out trajectory."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    fig = plot_scene(batch, bidx=bidx, output=None, **kwargs)
+    ax = fig.axes[0]
+
+    pmask = np.asarray(batch.prompt.mask[bidx])
+    types = np.asarray(batch.prompt.agent_type[bidx])
+    ext = np.asarray(batch.prompt.extent[bidx])
+    traj = np.asarray(output["rollout_traj"][bidx])      # [N, T, 4]
+    init_pos = np.asarray(output["init_pos"][bidx])
+    init_h = np.asarray(output["init_heading"][bidx])
+
+    agents = np.nonzero(pmask)[0]
+    world, heading = {}, {}
+    for n in agents:
+        c, s = np.cos(init_h[n]), np.sin(init_h[n])
+        R = np.array([[c, -s], [s, c]])
+        world[n] = traj[n, :, :2] @ R.T + init_pos[n]
+        heading[n] = init_h[n] + np.arctan2(traj[n, :, 2], traj[n, :, 3])
+
+    patches = {
+        n: ax.fill(
+            [], [], color=AGENT_COLORS.get(int(types[n]), "#555"),
+            alpha=0.9, zorder=5,
+        )[0]
+        for n in agents
+    }
+    frames = range(0, traj.shape[1], stride)
+
+    def update(t):
+        for n in agents:
+            corners = _box_corners(world[n][t], heading[n][t], ext[n])
+            patches[n].set_xy(corners)
+        return list(patches.values())
+
+    anim = FuncAnimation(fig, update, frames=frames, blit=True)
+    anim.save(path, writer=PillowWriter(fps=fps))
+    plt.close(fig)
+    return path

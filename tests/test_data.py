@@ -154,3 +154,45 @@ def test_native_lane_vectorization_parity(scene0):
         native._build_failed, native._lib = saved
     assert out_native.shape == out_py.shape
     np.testing.assert_array_equal(out_native, out_py)
+
+
+def test_tfrecord_roundtrip_and_tf_interop(tmp_path):
+    """Pure-python TFRecord IO (reference TFRecord use: waymo_utils.py:38-57),
+    cross-checked against tensorflow's writer/reader when available."""
+    from prosim_tpu.data.tfrecord import (
+        read_tfrecords, write_tfrecords, index_waymo_scenarios,
+    )
+
+    payloads = [b"hello", b"", bytes(range(256)) * 10]
+    p = str(tmp_path / "own.tfrecord")
+    assert write_tfrecords(p, payloads) == 3
+    assert list(read_tfrecords(p)) == payloads
+
+    # corrupt a byte -> crc error
+    blob = bytearray(open(p, "rb").read())
+    blob[14] ^= 0xFF
+    bad = str(tmp_path / "bad.tfrecord")
+    open(bad, "wb").write(bytes(blob))
+    with pytest.raises(IOError):
+        list(read_tfrecords(bad))
+
+    try:
+        import tensorflow as tf
+    except Exception:
+        return
+    # tf reads ours
+    got = [r.numpy() for r in tf.data.TFRecordDataset(p)]
+    assert got == payloads
+    # we read tf's
+    q = str(tmp_path / "tf.tfrecord")
+    with tf.io.TFRecordWriter(q) as w:
+        for x in payloads:
+            w.write(x)
+    assert list(read_tfrecords(q)) == payloads
+
+    # scenario_id indexing: field 5 length-delimited = tag byte 0x2a
+    sid = b"abc123"
+    proto = b"\x0a\x02\x08\x01" + b"\x2a" + bytes([len(sid)]) + sid
+    r = str(tmp_path / "scn.tfrecord")
+    write_tfrecords(r, [proto])
+    assert index_waymo_scenarios(r) == {"abc123": proto}

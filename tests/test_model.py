@@ -121,3 +121,66 @@ def test_padding_agents_do_not_affect_valid_agents(ctx):
     t1 = np.asarray(out1["rollout_traj"])[mask]
     t2 = np.asarray(out2["rollout_traj"])[:, :6][mask]
     np.testing.assert_allclose(t1, t2, atol=2e-4, rtol=2e-4)
+
+
+def test_cluster_pred_mode(tmp_path):
+    """'cluster' anchors: k-means goal xy -> fixed Fourier PE -> MLP anchors
+    (reference: act_decoder.py:69-73,104-106)."""
+    K = 4
+    goals = np.array([[10.0, 0.0], [0.0, 10.0], [-10.0, 0.0], [0.0, -10.0]], np.float32)
+    path = str(tmp_path / "k_goals.npy")
+    np.save(path, goals)
+    cfg = get_config(opts=SMALL_OPTS + [
+        "MODEL.POLICY.ACT_DECODER.TRAJ.PRED_MODE", "cluster",
+        "MODEL.POLICY.ACT_DECODER.TRAJ.CLUSTER_PATH", path,
+        "MODEL.POLICY.ACT_DECODER.TRAJ.K", str(K),
+    ])
+    model = ProSim(cfg)
+    batch = make_synthetic_batch(
+        cfg, batch_size=1, num_lanes=16, num_obs_agents=10, num_agents=6, num_replan=2
+    )
+    params = model.init(jax.random.PRNGKey(0), batch)
+    out = jax.jit(lambda p, b, k: model.forward(p, b, "val", k))(
+        params, batch, jax.random.PRNGKey(7)
+    )
+    assert out["motion_pred"].shape[-3] == K
+    mask = np.asarray(batch.prompt.mask)
+    assert np.isfinite(np.asarray(out["rollout_traj"])[mask]).all()
+
+    with pytest.raises(ValueError):
+        bad = get_config(opts=SMALL_OPTS + [
+            "MODEL.POLICY.ACT_DECODER.TRAJ.PRED_MODE", "cluster",
+            "MODEL.POLICY.ACT_DECODER.TRAJ.CLUSTER_PATH", path,
+            "MODEL.POLICY.ACT_DECODER.TRAJ.K", str(K + 1),
+        ])
+        ProSim(bad)
+
+
+def test_mlp_map_obs_encoders():
+    """MLP encoder variants (reference: map_encoder.py:5-65, obs_encoder.py:19-74)
+    with masked mean/max pool semantics."""
+    from prosim_tpu.models.scene_encoder import _masked_pool
+
+    # masked pool semantics: invalid rows never contribute; empty rows -> 0 (mean)
+    x = jnp.asarray([[[1.0, 2.0], [100.0, -100.0], [3.0, 4.0]]])
+    m = jnp.asarray([[True, False, True]])
+    np.testing.assert_allclose(np.asarray(_masked_pool(x, m, "mean"))[0], [2.0, 3.0])
+    np.testing.assert_allclose(np.asarray(_masked_pool(x, m, "max"))[0], [3.0, 4.0])
+    empty = _masked_pool(x, jnp.zeros_like(m), "mean")
+    np.testing.assert_allclose(np.asarray(empty)[0], [0.0, 0.0])
+
+    for pool in ("max", "mean", "none"):
+        cfg = get_config(opts=SMALL_OPTS + [
+            "MODEL.SCENE_ENCODER.MAP_TYPE", "mlp",
+            "MODEL.SCENE_ENCODER.OBS_TYPE", "mlp",
+            "MODEL.MAP_ENCODER.MLP.POOL", "max" if pool == "none" else pool,
+            "MODEL.OBS_ENCODER.MLP.POOL", pool,
+        ])
+        model = ProSim(cfg)
+        batch = make_synthetic_batch(
+            cfg, batch_size=1, num_lanes=8, num_obs_agents=6, num_agents=4, num_replan=1
+        )
+        params = model.init(jax.random.PRNGKey(0), batch)
+        out = model.forward(params, batch, "val", jax.random.PRNGKey(1))
+        mask = np.asarray(batch.prompt.mask)
+        assert np.isfinite(np.asarray(out["rollout_traj"])[mask]).all(), pool

@@ -129,3 +129,34 @@ def test_wosac_metrics_rank_replay_above_noise():
     assert 0 <= mB["composite"] < mA["composite"] <= 1.0
     agg = aggregate_scenarios([mA, mB])
     assert "composite" in agg
+
+
+def test_interactive_sim_api():
+    import os
+
+    CACHE = "/root/reference/demo_dataset/trajdata_cache"
+    if not os.path.isdir(CACHE):
+        pytest.skip("demo cache absent")
+    from prosim_tpu.demo.api import InteractiveSim
+
+    cfg = get_config(opts=SMALL_OPTS + [
+        "DATASET.FORMAT.PAD.NUM_LANES", "64",
+        "DATASET.FORMAT.MAP.MAX_POINTS", "64",
+        "DATASET.FORMAT.PAD.NUM_AGENTS", "16",
+        "DATASET.FORMAT.PAD.NUM_OBS_AGENTS", "24",
+        "DATASET.AGENT.SCENE_MAX_AGENT", "16",
+        "DATASET.SOURCE.VAL", "['waymo_train']",
+        "PROMPT.CONDITION.TYPES", "['goal']",
+    ])
+    sim = InteractiveSim(cfg, CACHE)
+    sim.load_scene(0)
+    out1 = sim.rollout()
+    sim.set_goal(1, (25.0, 0.0))
+    out2 = sim.rollout()
+    d = np.abs(np.asarray(out2["rollout_traj"]) - np.asarray(out1["rollout_traj"]))
+    assert d.max() > 1e-4  # control changed something
+    assert np.isfinite(np.asarray(out2["rollout_traj"])).all()
+    p = sim.plot("/tmp/test_sim.png", out2)
+    assert os.path.getsize(p) > 1000
+    g = sim.animate("/tmp/test_sim.gif", out2, stride=20)
+    assert os.path.getsize(g) > 1000
