@@ -145,7 +145,12 @@ class SceneBatch:
 
         other_fn = other_fn or (lambda x: x)
         t_idx = self.io_pairs.t_indices if self.io_pairs is not None else None
-        out = jax.tree.map(fn, self)
+        src = self
+        if t_idx is not None:
+            # hold the per-batch constant out of the scene-axis map: fn may be
+            # a device_put whose 'data' sharding is invalid for its shape
+            src = src.replace(io_pairs=src.io_pairs.replace(t_indices=None))
+        out = jax.tree.map(fn, src)
         if t_idx is not None:
             out = out.replace(io_pairs=out.io_pairs.replace(t_indices=other_fn(t_idx)))
         return out

@@ -129,3 +129,37 @@ def test_generator_builds_text_conditions():
     named = slots[slots >= 0]
     assert (named < b.prompt.mask.shape[1]).all()
     assert bool(np.asarray(tc["prompt_mask"]).any())
+
+
+def test_caption_funcs():
+    """Caption strings (reference: condition_utils.py:545-643)."""
+    import jax.numpy as jnp
+
+    from prosim_tpu.data.batch import Condition
+    from prosim_tpu.data.captions import batch_caption
+
+    v_tag = Condition(
+        feat=jnp.asarray([[[0.0, 10, 40], [3.0, 0, 80]]]),   # Accelerate, Stopping
+        mask=jnp.asarray([[True, True]]),
+        prompt_idx=jnp.asarray([[[2], [5]]], jnp.int32),
+        prompt_mask=jnp.ones((1, 8), bool),
+    )
+    v2v = Condition(
+        feat=jnp.asarray([[[1.0, 0, 30]]]),                  # Yield
+        mask=jnp.asarray([[True]]),
+        prompt_idx=jnp.asarray([[[1, 4]]], jnp.int32),
+        prompt_mask=jnp.ones((1, 8), bool),
+    )
+    text = Condition(
+        feat=jnp.zeros((1, 4)), mask=jnp.asarray([True]),
+        prompt_idx=jnp.zeros((1, 1, 1), jnp.int32),
+        prompt_mask=jnp.ones((1, 8), bool),
+    )
+    cap = batch_caption(
+        {"v_action_tag": v_tag, "v2v_tag": v2v, "llm_text_OneText": text},
+        texts=["Let <A2> speed up."],
+    )
+    assert "Accelerate(<A2>: 10-40)" in cap
+    assert "Stopping(<A5>: 0-80)" in cap
+    assert "Yield(<A1>, <A4>: 0-30)" in cap
+    assert "Let <A2> speed up." in cap
