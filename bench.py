@@ -18,6 +18,15 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 import jax
 
+# The environment may preset JAX_PLATFORMS to a plugin name that fails to
+# initialize (e.g. a TPU tunnel that registers under a different name); fall
+# back to auto-selection so the bench always runs on the best live backend.
+try:
+    jax.devices()
+except RuntimeError:
+    jax.config.update("jax_platforms", None)
+    jax.devices()
+
 TARGET_PER_CHIP = 100.0 / 8.0  # BASELINE.json: >=100 scenes/s on v5e-8
 
 

@@ -174,7 +174,7 @@ class LlamaModel(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids=None, inputs_embeds=None, attention_mask=None,
-                 agent_embs=None, agent_slot_ids=None):
+                 agent_embs=None, agent_slot_ids=None, return_logits=False):
         """Either input_ids or inputs_embeds. When (agent_embs [B,N,H],
         agent_slot_ids [B,T]) are given, <A{i}> token embeddings are replaced
         by the per-agent vectors (REPLACE_AGENT_TOKEN semantics)."""
@@ -215,6 +215,14 @@ class LlamaModel(nn.Module):
         for i in range(c.num_layers):
             x = LlamaBlock(c, name=f"layer_{i}")(x, positions, mask)
         x = RMSNorm(c.rms_eps, c.dtype, name="final_norm")(x)
+        if return_logits:
+            # untied LM head (Llama3 convention); sharded like the embedding
+            lm_head = self.param(
+                "lm_head",
+                nn.with_partitioning(nn.initializers.normal(0.02), (None, "model")),
+                (c.hidden_size, c.total_vocab),
+            )
+            return x, jnp.dot(x, lm_head.astype(c.dtype))
         return x
 
 

@@ -114,3 +114,42 @@ class LlamaTextAttn(nn.Module):
             }
         return out, aux
 
+
+@registry.register_text_attn(name="llama_qa")
+class LlamaTextAttnQA(nn.Module):
+    """QA probing variant (reference: text_attns.py:545-687): ask the LLM a
+    question about one agent's ground-truth attribute with the agent's policy
+    embedding injected at its <A{i}> token, and train with token-level
+    cross-entropy on the answer span. Returns the prompt condition embedding
+    unchanged plus {'qa_loss': ...}."""
+
+    hidden_dim: int
+    llm_config: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.llm = LlamaModel(self.llm_config)
+        H = self.llm_config.hidden_size
+        self.prompt_to_llm = MLP(
+            [self.hidden_dim, self.hidden_dim, H], ret_before_act=True, dtype=self.dtype
+        )
+        self.ln_prompt = nn.LayerNorm(dtype=self.dtype)
+
+    def __call__(self, qa_cond: Dict, prompt_cond_emb, prompt: Prompt,
+                 deterministic: bool = True) -> Tuple[jnp.ndarray, Optional[Dict]]:
+        """qa_cond: input_ids/token_mask/agent_slot_ids [B, L] plus
+        labels [B, L] int32 (-100 outside the answer span)."""
+        agent_llm = self.ln_prompt(self.prompt_to_llm(prompt_cond_emb))
+        _, logits = self.llm(
+            qa_cond["input_ids"], None, qa_cond["token_mask"],
+            agent_embs=agent_llm, agent_slot_ids=qa_cond["agent_slot_ids"],
+            return_logits=True,
+        )  # logits [B, L, V]
+        # next-token prediction: logits at t predict labels at t+1
+        labels = qa_cond["labels"][:, 1:]
+        lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+        tgt = jnp.clip(labels, 0, None)
+        nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+        on = labels >= 0
+        qa_loss = jnp.where(on, nll, 0.0).sum() / jnp.clip(on.sum(), 1, None)
+        return prompt_cond_emb, {"qa_loss": qa_loss}

@@ -130,3 +130,52 @@ def build_text_prompt(agent_instructions: Dict[int, str]) -> str:
             instr = f"{token} {instr}"
         lines.append(instr if instr.endswith(".") else instr + ".")
     return "\n".join(lines)
+
+
+def build_qa_batch(
+    tokenizer,
+    gt_xy: np.ndarray,       # [B, N, 2] ground-truth attribute per agent
+    valid: np.ndarray,       # [B, N] bool
+    max_len: int,
+    rng,
+    question_type: str = "position",
+    contextual: bool = True,
+) -> Dict[str, np.ndarray]:
+    """QA probing inputs (reference: text_attns.py:577-607 _prepare_qa_text):
+    per scene pick one valid agent, ask for its GT attribute, supervise the
+    answer tokens. Returns tokenize_batch-style arrays plus labels [B, L]
+    (-100 outside the answer span)."""
+    B, N = valid.shape
+    ids = np.zeros((B, max_len), np.int32)
+    mask = np.zeros((B, max_len), bool)
+    slots = -np.ones((B, max_len), np.int32)
+    labels = np.full((B, max_len), -100, np.int32)
+    nidxs = np.zeros((B,), np.int32)
+    base = tokenizer.base_vocab
+
+    for b in range(B):
+        vi = np.nonzero(valid[b])[0]
+        n = int(rng.choice(vi)) if len(vi) else 0
+        nidxs[b] = n
+        q = f" Question: {question_type} of agent {AGENT_TEMPLATE.format(n)} is?"
+        if contextual:
+            q += f" given embedding of {AGENT_TEMPLATE.format(n)} |"
+        a = f"Answer:({gt_xy[b, n, 0]:.2f}, {gt_xy[b, n, 1]:.2f})"
+        q_ids = tokenizer.encode(q)
+        a_ids = tokenizer.encode(a)
+        enc = (q_ids + a_ids)[:max_len]
+        L = len(enc)
+        ids[b, :L] = enc
+        mask[b, :L] = True
+        a_start = min(len(q_ids), L)
+        labels[b, a_start:L] = enc[a_start:L]
+        for j, t in enumerate(enc):
+            if t >= base and t - base < N:
+                slots[b, j] = t - base
+    return {
+        "input_ids": ids,
+        "token_mask": mask,
+        "agent_slot_ids": slots,
+        "labels": labels,
+        "query_agent": nidxs,
+    }

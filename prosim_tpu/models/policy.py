@@ -82,7 +82,18 @@ class PolicyRelPE(nn.Module):
         ]
 
         out_dim = self.pred_steps * self.state_dim
-        if self.pred_mode == "mlp":
+        if self.pred_mode == "vel_pred":
+            # aux task head: initial velocity only (reference: act_decoder.py:51-52)
+            self.vel_head = MLP(
+                [self.hidden_dim, self.hidden_dim, self.hidden_dim // 2, 2],
+                ret_before_act=True, dtype=self.dtype,
+            )
+        elif self.pred_mode == "goal_pred":
+            # aux task head: goal xy + prob logit (reference: act_decoder.py:55-57)
+            self.goal_head = MLP(
+                [self.hidden_dim, 3], ret_before_act=True, dtype=self.dtype
+            )
+        elif self.pred_mode == "mlp":
             self.motion_head = MLP(
                 [self.hidden_dim, self.hidden_dim, self.hidden_dim // 2, self.motion_k * out_dim],
                 ret_before_act=True, dtype=self.dtype,
@@ -177,6 +188,10 @@ class PolicyRelPE(nn.Module):
         B, N, D = pred_feat.shape
         K, S = self.motion_k, self.pred_steps
 
+        if self.pred_mode == "vel_pred":
+            return {"init_vel_pred": self.vel_head(pred_feat)}
+        if self.pred_mode == "goal_pred":
+            return {"goal_pred": self.goal_head(pred_feat)}
         if self.pred_mode == "mlp":
             motion = self.motion_head(pred_feat).reshape(B, N, K, S, self.state_dim)
         else:

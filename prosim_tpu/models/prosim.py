@@ -285,10 +285,13 @@ class ProSim:
             A = fo_feat.shape[1]
             tgt = jnp.where(prompt.mask & (obs_index >= 0), obs_index, A)
             bidx = jnp.arange(fo_feat.shape[0])[:, None]
-            fo_feat = fo_feat.at[bidx, tgt].set(feat_n, mode="drop")
+            fo_feat = fo_feat.at[bidx, tgt].set(
+                feat_n.astype(fo_feat.dtype), mode="drop")
             fo_mask = fo_mask.at[bidx, tgt].set(True, mode="drop")
-            fo_pos = fo_pos.at[bidx, tgt].set(pos_n, mode="drop")
-            fo_ori = fo_ori.at[bidx, tgt].set(theta_n, mode="drop")
+            fo_pos = fo_pos.at[bidx, tgt].set(
+                pos_n.astype(fo_pos.dtype), mode="drop")
+            fo_ori = fo_ori.at[bidx, tgt].set(
+                theta_n.astype(fo_ori.dtype), mode="drop")
 
             scene_out = self.scene_encoder.apply(
                 {"params": params["scene_encoder"]},

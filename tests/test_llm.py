@@ -138,3 +138,47 @@ def test_condition_transformer_with_llama_text():
     assert out.shape == (1, 6, 32)
     assert np.isfinite(np.asarray(out)).all()
     assert aux is not None
+
+
+def test_qa_text_attn():
+    """QA probing variant (reference: text_attns.py:545-687): answer-span CE
+    with agent-embedding injection."""
+    from prosim_tpu.data.batch import Prompt
+    from prosim_tpu.models.llm.text_attn import LlamaTextAttnQA
+    from prosim_tpu.models.llm.tokenizer import build_qa_batch
+
+    cfg = LlamaConfig.tiny()
+    D, B, N, L = 8, 2, 3, 128
+    tok = ByteTokenizer()
+    rng = np.random.default_rng(0)
+    gt = rng.normal(scale=10, size=(B, N, 2)).astype(np.float32)
+    valid = np.ones((B, N), bool)
+    qa = build_qa_batch(tok, gt, valid, L, rng)
+    assert (qa["labels"] >= 0).any() and (qa["labels"] == -100).any()
+    # the question must mention the queried agent's token
+    assert all(
+        (qa["agent_slot_ids"][b] == qa["query_agent"][b]).any() for b in range(B)
+    )
+
+    attn = LlamaTextAttnQA(hidden_dim=D, llm_config=cfg)
+    prompt = Prompt(
+        feat=jnp.zeros((B, N, 7)), mask=jnp.ones((B, N), bool),
+        pos=jnp.zeros((B, N, 2)), ori=jnp.zeros((B, N)),
+        agent_type=jnp.ones((B, N), jnp.int32),
+        obs_index=jnp.zeros((B, N), jnp.int32),
+        extent=jnp.zeros((B, N, 2)), goal_point=jnp.zeros((B, N, 2)),
+    )
+    emb = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
+    qa_j = {k: jnp.asarray(v) for k, v in qa.items()}
+    params = attn.init(jax.random.PRNGKey(0), qa_j, emb, prompt)
+    out, aux = attn.apply(params, qa_j, emb, prompt)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(emb))
+    assert np.isfinite(float(aux["qa_loss"])) and float(aux["qa_loss"]) > 0
+
+    # gradient flows into the agent embedding through the injected tokens
+    def loss_fn(e):
+        _, a = attn.apply(params, qa_j, e, prompt)
+        return a["qa_loss"]
+
+    g = jax.grad(loss_fn)(emb)
+    assert np.abs(np.asarray(g)).max() > 0

@@ -184,3 +184,37 @@ def test_mlp_map_obs_encoders():
         out = model.forward(params, batch, "val", jax.random.PRNGKey(1))
         mask = np.asarray(batch.prompt.mask)
         assert np.isfinite(np.asarray(out["rollout_traj"])[mask]).all(), pool
+
+
+def test_policy_aux_pred_modes():
+    """'vel_pred'/'goal_pred' aux task heads for sampler models
+    (reference: act_decoder.py:51-57,82-89)."""
+    from prosim_tpu.data.batch import SceneTokens
+    from prosim_tpu.models.policy import PolicyRelPE
+
+    B, N, L, A, D = 1, 4, 8, 6, 16
+    rng = np.random.default_rng(0)
+    scene = SceneTokens(
+        tokens=jnp.asarray(rng.normal(size=(B, L + A, D)), jnp.float32),
+        pos=jnp.asarray(rng.normal(scale=20, size=(B, L + A, 2)), jnp.float32),
+        ori=jnp.zeros((B, L + A)),
+        mask=jnp.ones((B, L + A), bool),
+        num_map=L,
+    )
+    for mode, key, dim in (("vel_pred", "init_vel_pred", 2), ("goal_pred", "goal_pred", 3)):
+        pol = PolicyRelPE(
+            hidden_dim=D, num_layers=1, num_heads=2, head_dim=4, max_neigh=4,
+            agent_radius=100.0, map_radius=100.0, edge_func="knn",
+            learnable_pe=False, pe_num_freq=4, motion_k=1, pred_steps=5,
+            state_dim=3, pred_mode=mode,
+        )
+        emd = {"emd": jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)}
+        args = (
+            emd, scene, jnp.zeros((B, N, 2)), jnp.zeros((B, N)),
+            jnp.ones((B, N), bool), jnp.ones((B, N), jnp.int32),
+        )
+        params = pol.init(jax.random.PRNGKey(0), *args)
+        out = pol.apply(params, *args)
+        assert out[key].shape == (B, N, dim)
+        assert "motion_pred" not in out
+        assert np.isfinite(np.asarray(out[key])).all()
