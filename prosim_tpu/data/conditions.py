@@ -280,6 +280,8 @@ class ConditionGenerator:
                 out[ctype] = build_one_text_condition(
                     self.tokenizer(), [text], (pmask & prompt_valid)[None],
                     max_len=llm_cfg.MAX_TEXT_TOKENS,
+                    use_prompt_token=llm_cfg.USE_PROMPT_TOKEN,
+                    agent_token_mode=llm_cfg.AGENT_TOKEN_MODE,
                 )
         return out
 

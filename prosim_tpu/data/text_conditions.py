@@ -92,7 +92,16 @@ def build_one_text_condition(
     texts: List[str],
     prompt_masks: np.ndarray,  # [B, N]
     max_len: int,
+    use_prompt_token: bool = True,
+    agent_token_mode: str = "none",
 ) -> Dict[str, np.ndarray]:
-    """Tokenize OneText strings into the LlamaTextAttn input dict."""
+    """Tokenize OneText strings into the LlamaTextAttn input dict. With
+    use_prompt_token (demo config), append the per-agent prompt block and
+    read positions (reference USE_PROMPT_TOKEN, text_attns.py:261-345)."""
     num_agents = prompt_masks.shape[1]
-    return tokenize_batch(tokenizer, texts, max_len, num_agents, prompt_masks)
+    cond = tokenize_batch(tokenizer, texts, max_len, num_agents, prompt_masks)
+    if use_prompt_token:
+        from prosim_tpu.models.llm.tokenizer import append_prompt_block
+
+        cond = append_prompt_block(cond, tokenizer, agent_token_mode)
+    return cond

@@ -74,7 +74,9 @@ class InteractiveSim:
         pmask = np.zeros((1, N), bool)
         pmask[0, list(agents)] = True
         tc = build_one_text_condition(
-            gen.tokenizer(), [text], pmask, llm_cfg.MAX_TEXT_TOKENS
+            gen.tokenizer(), [text], pmask, llm_cfg.MAX_TEXT_TOKENS,
+            use_prompt_token=llm_cfg.USE_PROMPT_TOKEN,
+            agent_token_mode=llm_cfg.AGENT_TOKEN_MODE,
         )
         conds = dict(self.batch.conditions)
         conds["llm_text_OneText"] = {k: jnp.asarray(v) for k, v in tc.items()}

@@ -37,6 +37,8 @@ class ConditionTransformer(nn.Module):
     llm_weights_path: str = ""
     lora_rank: int = 16
     text_prompt_mask_pred: bool = True
+    replace_agent_token: bool = True
+    agent_token_mode: str = "none"
     drag_num_points: int = 8
     drag_pre_layers: int = 1
     drag_mlp_layers: int = 3
@@ -91,6 +93,8 @@ class ConditionTransformer(nn.Module):
                 self.text_attn = LlamaTextAttn(
                     hidden_dim=self.hidden_dim,
                     llm_config=llm_cfg,
+                    replace_agent_token=self.replace_agent_token,
+                    agent_token_mode=self.agent_token_mode,
                     prompt_mask_pred=self.text_prompt_mask_pred,
                     dtype=self.dtype,
                 )
@@ -145,6 +149,8 @@ def build_condition_transformer(config, dtype=jnp.float32) -> ConditionTransform
         llm_weights_path=ct.CONDITION_ENCODER.TEXT.LLM.WEIGHTS_PATH,
         lora_rank=ct.TEXT_ATTN.LORA.R if ct.TEXT_ATTN.LORA.ENABLE else 0,
         text_prompt_mask_pred=ct.CONDITION_ENCODER.TEXT.LLM.PROMPT_LOSS.PROMPT_MASK_PRED,
+        replace_agent_token=ct.CONDITION_ENCODER.TEXT.LLM.REPLACE_AGENT_TOKEN,
+        agent_token_mode=ct.CONDITION_ENCODER.TEXT.LLM.AGENT_TOKEN_MODE,
         drag_num_points=config.PROMPT.CONDITION.DRAG_POINT.MAX_POINTS,
         drag_pre_layers=ct.CONDITION_ENCODER.DRAG_POINTS.NUM_PRE_LAYERS,
         drag_mlp_layers=ct.CONDITION_ENCODER.DRAG_POINTS.NUM_MLP_LAYERS,

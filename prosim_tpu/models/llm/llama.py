@@ -174,10 +174,14 @@ class LlamaModel(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids=None, inputs_embeds=None, attention_mask=None,
-                 agent_embs=None, agent_slot_ids=None, return_logits=False):
+                 agent_embs=None, agent_slot_ids=None, return_logits=False,
+                 extra_embeds=None, extra_mask=None, agent_add_mode=False):
         """Either input_ids or inputs_embeds. When (agent_embs [B,N,H],
         agent_slot_ids [B,T]) are given, <A{i}> token embeddings are replaced
-        by the per-agent vectors (REPLACE_AGENT_TOKEN semantics)."""
+        by the per-agent vectors (REPLACE_AGENT_TOKEN semantics). When
+        extra_embeds [B, P, H] (+extra_mask [B, P]) is given, it is appended
+        after the token sequence (the reference's USE_PROMPT_TOKEN block,
+        text_attns.py:261-345); returned hidden states cover T + P positions."""
         c = self.cfg
         embed = self.param(
             "embed_tokens",
@@ -201,13 +205,19 @@ class LlamaModel(nn.Module):
                 inputs_embeds = embed_with_agent_tokens(
                     embed.astype(c.dtype), input_ids,
                     agent_embs.astype(c.dtype), agent_slot_ids,
+                    add_mode=agent_add_mode,
                 )
             else:
                 inputs_embeds = jnp.take(embed.astype(c.dtype), input_ids, axis=0)
         x = inputs_embeds.astype(c.dtype)
-        B, T = x.shape[:2]
         if attention_mask is None:
-            attention_mask = jnp.ones((B, T), bool)
+            attention_mask = jnp.ones(x.shape[:2], bool)
+        if extra_embeds is not None:
+            x = jnp.concatenate([x, extra_embeds.astype(c.dtype)], axis=1)
+            if extra_mask is None:
+                extra_mask = jnp.ones(extra_embeds.shape[:2], bool)
+            attention_mask = jnp.concatenate([attention_mask, extra_mask], axis=1)
+        B, T = x.shape[:2]
         positions = jnp.cumsum(attention_mask, axis=-1) - 1
         causal = jnp.tril(jnp.ones((T, T), bool))
         mask = causal[None] & attention_mask[:, None, :]
@@ -226,14 +236,18 @@ class LlamaModel(nn.Module):
         return x
 
 
-def embed_with_agent_tokens(embed_table, input_ids, agent_embs, agent_slot_ids):
+def embed_with_agent_tokens(embed_table, input_ids, agent_embs, agent_slot_ids,
+                            add_mode=False):
     """Token embeddings with <A{i}> rows replaced by per-agent vectors.
 
     embed_table [V, H]; input_ids [B, T]; agent_embs [B, N, H] projected
     policy embeddings; agent_slot_ids [B, T] = agent index at each position or
-    -1 (reference REPLACE_AGENT_TOKEN, text_attns.py:395-422).
-    """
+    -1 (reference REPLACE_AGENT_TOKEN, text_attns.py:395-422). With add_mode
+    the agent vector is added onto the token embedding instead of replacing
+    it (AGENT_TOKEN_MODE='add', text_attns.py:266-270)."""
     base = jnp.take(embed_table, input_ids, axis=0)  # [B, T, H]
     safe = jnp.clip(agent_slot_ids, 0, agent_embs.shape[1] - 1)
     repl = jnp.take_along_axis(agent_embs, safe[..., None], axis=1)
+    if add_mode:
+        repl = base + repl
     return jnp.where((agent_slot_ids >= 0)[..., None], repl, base)

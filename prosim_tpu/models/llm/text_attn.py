@@ -36,6 +36,7 @@ class LlamaTextAttn(nn.Module):
     hidden_dim: int               # policy embedding dim D
     llm_config: LlamaConfig
     replace_agent_token: bool = True
+    agent_token_mode: str = "none"  # 'add' sums name+agent embeddings
     prompt_mask_pred: bool = True
     detach_prompt_token: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -75,24 +76,35 @@ class LlamaTextAttn(nn.Module):
             agent_in = jax.lax.stop_gradient(agent_in)
         agent_llm = self.ln_prompt(self.prompt_to_llm(agent_in))  # [B, N, H]
 
-        if self.replace_agent_token:
+        if self.replace_agent_token or self.agent_token_mode == "add":
             hidden = self.llm(
-                ids, None, tok_mask, agent_embs=agent_llm, agent_slot_ids=slot_ids
+                ids, None, tok_mask, agent_embs=agent_llm, agent_slot_ids=slot_ids,
+                agent_add_mode=self.agent_token_mode == "add",
             )  # [B, L, H]
         else:
             hidden = self.llm(ids, None, tok_mask)
 
-        # scatter-back: mean of hidden states at each agent's token positions
-        B, L, H = hidden.shape
         N = prompt_cond_emb.shape[1]
-        onehot = jax.nn.one_hot(
-            jnp.where(slot_ids >= 0, slot_ids, N), N + 1, dtype=hidden.dtype
-        )[..., :N]  # [B, L, N]
-        onehot = onehot * tok_mask[..., None]
-        counts = onehot.sum(axis=1)  # [B, N]
-        gathered = jnp.einsum("blh,bln->bnh", hidden.astype(jnp.float32), onehot)
-        gathered = gathered / jnp.clip(counts[..., None], 1, None)
-        addressed = counts > 0  # [B, N]
+        read_pos = text_cond.get("read_positions")
+        if read_pos is not None:
+            # USE_PROMPT_TOKEN block: read each agent's hidden state at its
+            # slot in the appended prompt block (text_attns.py:459-465)
+            safe = jnp.clip(read_pos, 0, hidden.shape[1] - 1)
+            gathered = jnp.take_along_axis(
+                hidden.astype(jnp.float32), safe[..., None], axis=1
+            )  # [B, N, H]
+            addressed = read_pos >= 0
+        else:
+            # scatter-back: mean of hidden states at each agent's <A{i}>
+            # positions inside the text
+            onehot = jax.nn.one_hot(
+                jnp.where(slot_ids >= 0, slot_ids, N), N + 1, dtype=hidden.dtype
+            )[..., :N]  # [B, L, N]
+            onehot = onehot * tok_mask[..., None]
+            counts = onehot.sum(axis=1)  # [B, N]
+            gathered = jnp.einsum("blh,bln->bnh", hidden.astype(jnp.float32), onehot)
+            gathered = gathered / jnp.clip(counts[..., None], 1, None)
+            addressed = counts > 0  # [B, N]
 
         res = self.llm_to_cond(gathered.astype(self.dtype))  # [B, N, D]
         out = jnp.where(

@@ -179,3 +179,72 @@ def build_qa_batch(
         "labels": labels,
         "query_agent": nidxs,
     }
+
+
+_BLOCK_WIDTH = {"none": 1, "add": 1, "concat": 2, "concat_repeat": 3,
+                "concat_sep": 4, "concat_semantic": 4}
+
+
+def append_prompt_block(
+    cond: Dict[str, np.ndarray],
+    tokenizer,
+    mode: str = "none",
+) -> Dict[str, np.ndarray]:
+    """Append the USE_PROMPT_TOKEN block after the text tokens
+    (reference: text_attns.py:261-345): one group per agent slot whose layout
+    depends on `mode` -- 'none' [emb], 'add' [name+emb], 'concat'
+    [name, emb], 'concat_repeat' [name, emb, name], 'concat_sep'
+    [name, '|', emb, ';'], 'concat_semantic' [name, 'is', emb, ','].
+
+    Positions carrying the agent embedding get agent_slot_ids = agent index
+    (the device side substitutes or adds the projected policy embedding
+    there); `read_positions` [B, N] marks where to read each agent's output
+    hidden state (-1 for agents the text does not address).
+    """
+    if mode not in _BLOCK_WIDTH:
+        raise ValueError(f"unknown agent_token_mode '{mode}'")
+    w = _BLOCK_WIDTH[mode]
+    ids, mask, slots = cond["input_ids"], cond["token_mask"], cond["agent_slot_ids"]
+    pmask = cond["prompt_mask"]
+    B, L = ids.shape
+    N = pmask.shape[1]
+
+    sep1 = sep2 = 0
+    if mode == "concat_sep":
+        sep1, sep2 = tokenizer.encode("|")[0], tokenizer.encode(";")[0]
+    elif mode == "concat_semantic":
+        sep1, sep2 = tokenizer.encode("is")[0], tokenizer.encode(",")[0]
+
+    ids2 = np.concatenate([ids, np.zeros((B, w * N), np.int32)], axis=1)
+    mask2 = np.concatenate([mask, np.zeros((B, w * N), bool)], axis=1)
+    slots2 = np.concatenate([slots, -np.ones((B, w * N), np.int32)], axis=1)
+    read = -np.ones((B, N), np.int32)
+
+    for b in range(B):
+        for n in range(N):
+            if not pmask[b, n]:
+                continue
+            p = L + w * n
+            name_id = tokenizer.agent_token_id(n)
+            if mode in ("none", "add"):
+                ids2[b, p] = name_id
+                slots2[b, p] = n
+                read[b, n] = p
+            elif mode == "concat":
+                ids2[b, p:p + 2] = [name_id, name_id]
+                slots2[b, p + 1] = n
+                read[b, n] = p + 1
+            elif mode == "concat_repeat":
+                ids2[b, p:p + 3] = [name_id, name_id, name_id]
+                slots2[b, p + 1] = n
+                read[b, n] = p + 1
+            else:  # concat_sep / concat_semantic
+                ids2[b, p:p + 4] = [name_id, sep1, name_id, sep2]
+                slots2[b, p + 2] = n
+                read[b, n] = p + 2
+            mask2[b, p:p + w] = True
+
+    out = dict(cond)
+    out.update(input_ids=ids2, token_mask=mask2, agent_slot_ids=slots2,
+               read_positions=read)
+    return out

@@ -165,11 +165,12 @@ class ProSim:
         init_heading = jnp.take_along_axis(obs.ori[..., None], safe_idx[..., None], axis=1)[..., 0]
 
         traj = jnp.zeros((B, N, total_steps, 4), self.dtype)
-        traj = traj.at[:, :, : self.hist_steps].set(hist)
+        traj = traj.at[:, :, : self.hist_steps].set(hist.astype(self.dtype))
         vel = jnp.zeros((B, N, total_steps, 2), self.dtype)
         if self.pred_vel:
             hv = jnp.take_along_axis(obs.feat[..., 4:6], safe_idx[..., None, None], axis=1)
-            vel = vel.at[:, :, : self.hist_steps].set(jnp.nan_to_num(hv))
+            vel = vel.at[:, :, : self.hist_steps].set(
+                jnp.nan_to_num(hv).astype(self.dtype))
         return traj, vel, init_pos, init_heading
 
     # ---------------------------------------------------------------- select

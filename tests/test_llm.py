@@ -182,3 +182,52 @@ def test_qa_text_attn():
 
     g = jax.grad(loss_fn)(emb)
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_prompt_token_block_modes():
+    """USE_PROMPT_TOKEN block layouts (reference: text_attns.py:261-345) and
+    read-at-position output gathering."""
+    from prosim_tpu.data.batch import Prompt
+    from prosim_tpu.models.llm.text_attn import LlamaTextAttn
+    from prosim_tpu.models.llm.tokenizer import append_prompt_block, tokenize_batch
+
+    tok = ByteTokenizer()
+    B, N, L = 1, 4, 24
+    pm = np.zeros((B, N), bool)
+    pm[0, [1, 3]] = True
+    base = tokenize_batch(tok, ["go <A1> now"], L, N, pm)
+
+    widths = {"none": 1, "add": 1, "concat": 2, "concat_repeat": 3,
+              "concat_sep": 4, "concat_semantic": 4}
+    for mode, w in widths.items():
+        ext = append_prompt_block(base, tok, mode)
+        assert ext["input_ids"].shape == (B, L + w * N)
+        rp = ext["read_positions"]
+        assert (rp[0, [1, 3]] >= 0).all() and (rp[0, [0, 2]] == -1).all()
+        # the read position carries the agent's slot id
+        for n in (1, 3):
+            assert ext["agent_slot_ids"][0, rp[0, n]] == n
+        assert ext["token_mask"][0, L:L + w].sum() == 0  # agent 0 absent
+
+    cfg = LlamaConfig.tiny()
+    D = 8
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
+    prompt = Prompt(
+        feat=jnp.zeros((B, N, 7)), mask=jnp.ones((B, N), bool),
+        pos=jnp.zeros((B, N, 2)), ori=jnp.zeros((B, N)),
+        agent_type=jnp.ones((B, N), jnp.int32),
+        obs_index=jnp.zeros((B, N), jnp.int32),
+        extent=jnp.zeros((B, N, 2)), goal_point=jnp.zeros((B, N, 2)),
+    )
+    for mode in ("none", "add"):
+        ext = append_prompt_block(base, tok, mode)
+        cond = {k: jnp.asarray(v) for k, v in ext.items()}
+        attn = LlamaTextAttn(hidden_dim=D, llm_config=cfg, agent_token_mode=mode)
+        params = attn.init(jax.random.PRNGKey(0), cond, emb, prompt)
+        out, aux = attn.apply(params, cond, emb, prompt)
+        out = np.asarray(out)
+        ref = np.asarray(emb)
+        # addressed agents get a residual; unaddressed stay untouched
+        assert np.abs(out[0, [1, 3]] - ref[0, [1, 3]]).max() > 1e-6, mode
+        np.testing.assert_array_equal(out[0, [0, 2]], ref[0, [0, 2]])
