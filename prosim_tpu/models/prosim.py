@@ -73,6 +73,13 @@ class ProSim:
 
     # ------------------------------------------------------------------ init
     def init(self, rng, batch: SceneBatch) -> Dict[str, Any]:
+        """Initialize all submodule params in ONE jitted program: the eager
+        per-submodule applies below would otherwise issue hundreds of small
+        device dispatches, which dominates startup on a remote-TPU tunnel
+        (~minutes for the full-size model vs seconds jitted)."""
+        return jax.jit(self._init_impl)(rng, batch)
+
+    def _init_impl(self, rng, batch: SceneBatch) -> Dict[str, Any]:
         r1, r2, r3, r4, r5 = jax.random.split(rng, 5)
         params = {}
         params["scene_encoder"] = self.scene_encoder.init(
