@@ -56,16 +56,14 @@ def neighbor_topk(
         bad = bad | eye[None]
     d2 = jnp.where(bad, _INF, d2)
     # Configs may request more neighbors than there are source slots
-    # (e.g. MAX_NUM_NEIGH=512 vs 128 prompt tokens); clamp the selection and
-    # pad back out to K with invalid entries so output shapes stay static.
+    # (e.g. MAX_NUM_NEIGH=768 vs 160 obs tokens); clamp the width to the
+    # source count instead of padding back to k -- the [B, Q, K, D] rel-PE
+    # tensors built on these indices dominate HBM, and padded-out columns
+    # are pure waste (still static shapes: S is static).
     s = d2.shape[-1]
     eff_k = min(k, s)
     neg_d, idx = jax.lax.top_k(-d2, eff_k)
     valid = neg_d > -_INF
-    if eff_k < k:
-        pad = k - eff_k
-        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, pad)))
-        valid = jnp.pad(valid, ((0, 0), (0, 0), (0, pad)))
     return idx.astype(jnp.int32), valid
 
 
