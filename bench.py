@@ -54,8 +54,6 @@ print(f"bench: backend={jax.default_backend()} devices={jax.devices()}",
 # Persistent compilation cache: the full-size rollout graph can take a long
 # time to compile through a remote-TPU tunnel; cache it so repeat runs (and
 # the driver's bench invocation) start hot.
-import os
-
 _cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                             "/root/.cache/jax_comp_cache")
 os.makedirs(_cache_dir, exist_ok=True)
@@ -69,11 +67,11 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--lanes", type=int, default=2048)
     ap.add_argument("--obs-agents", type=int, default=160)
     ap.add_argument("--agents", type=int, default=128)
-    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--mode", default="rollout", choices=["rollout", "train"],
                     help="closed-loop inference or full training step")
