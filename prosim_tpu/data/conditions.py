@@ -18,6 +18,8 @@ Sampling policies fix/uniform/normal/none with per-scene and per-batch quotas
 
 from typing import Dict, List, Optional
 
+import os
+
 import numpy as np
 
 from prosim_tpu.data.batch import Condition, SceneBatch
@@ -28,6 +30,7 @@ from prosim_tpu.data.motion_tags import (
     filter_to_interval,
     process_tags,
 )
+from prosim_tpu.models.llm.tokenizer import AGENT_TEMPLATE
 from prosim_tpu.data.text_conditions import (
     build_one_text_condition,
     concat_one_text,
@@ -285,7 +288,65 @@ class ConditionGenerator:
                 )
         return out
 
+    _llm_ids_cache = None
+
     def _load_llm_texts(self, scene, agent_names_by_slot):
-        """Hook for the released prosim_instruct_520k text files; returns None
-        when unavailable (reference: dataset/data_utils.py:626-642)."""
-        return None
+        """Released prosim_instruct_520k texts for this scene, rewritten to
+        slot tokens (reference: data_utils.py:626-642 lookup,
+        condition_utils.py:245-282 name -> <A{i}> rewrite). Returns a list of
+        (text, slot) tuples -- one entry per addressed agent, with the text
+        carried on the first -- or None when the release is not configured."""
+        import pickle
+        import re
+
+        lt = self.cond_cfg.LLM_TEXT
+        split = "train" if self.split.upper() == "TRAIN" else "val"
+        folder = getattr(lt.FOLDER, split.upper())
+        ids_pkl = getattr(lt.IDS_PKL, split.upper())
+        if not folder or not ids_pkl or not os.path.exists(ids_pkl):
+            return None
+
+        if self._llm_ids_cache is None:
+            with open(ids_pkl, "rb") as f:
+                raw = pickle.load(f)
+            # index by rounded ego-(x,y)@t0 so float32/float64 cache reads
+            # still hit the pickle's keys
+            self._llm_ids_cache = {
+                (round(k[0], 3), round(k[1], 3)): v for k, v in raw.items()
+            }
+
+        ego = scene.states[scene.ego_index, 0]
+        key = (round(float(ego[0]), 3), round(float(ego[1]), 3))
+        hit = self._llm_ids_cache.get(key)
+        if hit is None:
+            return None
+        sid = hit[0] if isinstance(hit, (list, tuple)) else hit
+        path = os.path.join(
+            folder, str(int(sid.split("_")[-1]) % 100), f"{sid}_10_90_output.txt"
+        )
+        if not os.path.exists(path):
+            return None
+
+        with open(path) as f:
+            lines = [re.sub(r"^\d+\.\s*", "", ln).strip().replace('"', "")
+                     for ln in f.readlines()]
+        lines = [ln for ln in lines if ln]
+
+        short_to_slot = {
+            n[:5].lower(): s for s, n in enumerate(agent_names_by_slot or [])
+        }
+        out = []
+        for text in lines:
+            names = re.findall(r"<([a-zA-Z0-9]+)>", text)
+            slots = []
+            for name in names:
+                s = short_to_slot.get(name.lower())
+                if s is not None:
+                    text = text.replace(f"<{name}>", AGENT_TEMPLATE.format(s))
+                    slots.append(s)
+            if names and not slots:
+                continue  # none of the mentioned agents are prompt agents
+            if slots:
+                out.append((text, slots[0]))
+                out.extend(("", s) for s in slots[1:])
+        return out or None

@@ -84,7 +84,9 @@ def concat_one_text(
     for _, slot in texts:
         if 0 <= slot < num_agents:
             pmask[slot] = True
-    return "\n".join(t for t, _ in texts), pmask
+    # empty-text entries only mark additional addressed agents (multi-agent
+    # 520k texts carry the text on their first slot)
+    return "\n".join(t for t, _ in texts if t), pmask
 
 
 def build_one_text_condition(

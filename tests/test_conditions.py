@@ -163,3 +163,64 @@ def test_caption_funcs():
     assert "Stopping(<A5>: 0-80)" in cap
     assert "Yield(<A1>, <A4>: 0-30)" in cap
     assert "Let <A2> speed up." in cap
+
+
+def test_520k_llm_text_loader(tmp_path):
+    """Released-texts lookup: ego-(x,y)@t0 pickle -> scene id -> text file;
+    <name5> -> <A{slot}> rewrite (reference: data_utils.py:626-642,
+    condition_utils.py:245-282)."""
+    import os
+    import pickle
+
+    CACHE = "/root/reference/demo_dataset/trajdata_cache"
+    if not os.path.isdir(CACHE):
+        pytest.skip("demo cache absent")
+    from prosim_tpu.data.dataset import ProSimImitationDataset
+    from prosim_tpu.data.formatter import format_scene
+
+    # fabricate a 520k release for demo scene 0
+    folder = tmp_path / "texts"
+    ids_pkl = tmp_path / "waymo_val_IDs.pkl"
+
+    cfg = get_config(opts=[
+        "DATASET.FORMAT.PAD.NUM_LANES", "128",
+        "DATASET.FORMAT.MAP.MAX_POINTS", "128",
+        "DATASET.SOURCE.VAL", "['waymo_train']",
+        "PROMPT.CONDITION.TYPES", "['llm_text_OneText']",
+        "PROMPT.CONDITION.LLM_TEXT.FOLDER.VAL", str(folder),
+        "PROMPT.CONDITION.LLM_TEXT.IDS_PKL.VAL", str(ids_pkl),
+    ])
+    ds = ProSimImitationDataset(cfg, "val", CACHE)
+    env, scene_name, ts = ds.index[0]
+    scene = ds._load(env, scene_name)
+    meta = {}
+    format_scene(scene, cfg, ts, "val", out_meta=meta)
+    names = meta["target_names"]
+    assert len(names) >= 2
+
+    ego = scene.states[scene.ego_index, 0]
+    sid = "scene_00042"
+    with open(ids_pkl, "wb") as f:
+        pickle.dump({(float(ego[0]), float(ego[1])): [sid]}, f)
+    sub = folder / str(42 % 100)
+    sub.mkdir(parents=True)
+    n0, n1 = names[0][:5], names[1][:5]
+    (sub / f"{sid}_10_90_output.txt").write_text(
+        f'1. "<{n0}> drives toward the intersection."\n'
+        f'2. <{n1}> slows down behind <{n0}>.\n'
+        "3. <zzzzz> does something (unknown agent).\n"
+    )
+
+    b = ds.get_scene_batch(0)
+    tc = b.conditions["llm_text_OneText"]
+    pm = np.asarray(tc["prompt_mask"])[0]
+    assert pm[0] and pm[1]  # both named agents addressed
+    # decode the byte-tokenized text back to check the rewrite
+    ids = np.asarray(tc["input_ids"])[0]
+    toks = np.asarray(tc["agent_slot_ids"])[0]
+    assert (toks == 0).any() and (toks == 1).any()
+    text_bytes = bytes(int(t) for t, m in zip(ids, np.asarray(tc["token_mask"])[0])
+                       if m and t < 512 and 9 < t < 127)
+    s = text_bytes.decode("utf-8", "replace")
+    assert "drives toward the intersection" in s
+    assert "unknown agent" not in s  # line with no prompt agents dropped
