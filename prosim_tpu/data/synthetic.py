@@ -126,6 +126,23 @@ def make_synthetic_batch(
     conditions = {}
     for cond_type in config.PROMPT.CONDITION.TYPES:
         if "OneText" in cond_type:
+            from prosim_tpu.data.text_conditions import build_one_text_condition
+            from prosim_tpu.models.llm.tokenizer import AGENT_TEMPLATE, ByteTokenizer
+
+            llm_cfg = config.MODEL.CONDITION_TRANSFORMER.CONDITION_ENCODER.TEXT.LLM
+            pm = np.zeros((B, N), bool)
+            pm[:, : min(2, N)] = True
+            texts = [
+                f"{AGENT_TEMPLATE.format(0)} slows down. "
+                f"{AGENT_TEMPLATE.format(min(1, N - 1))} turns left."
+            ] * B
+            tc = build_one_text_condition(
+                ByteTokenizer(), texts, pm,
+                max_len=llm_cfg.MAX_TEXT_TOKENS,
+                use_prompt_token=llm_cfg.USE_PROMPT_TOKEN,
+                agent_token_mode=llm_cfg.AGENT_TOKEN_MODE,
+            )
+            conditions[cond_type] = {k: jnp.asarray(v) for k, v in tc.items()}
             continue
         C = config.DATASET.FORMAT.PAD.NUM_CONDS
         fdim = {"goal": 3, "v_action_tag": 3, "v2v_tag": 3, "drag_point": 16}.get(cond_type, 3)

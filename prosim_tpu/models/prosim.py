@@ -393,6 +393,13 @@ class ProSim:
                 ys["reconst_pred"] = out["reconst_pred"]
             return carry, ys
 
+        if mode == "train":
+            # rematerialize the step in backward: storing every step's
+            # attention activations for the whole scan needs ~50 GB HBM at
+            # batch 8; recomputing them trades ~1 extra forward for fitting
+            # training on one chip
+            body = jax.checkpoint(body)
+
         carry0 = (scene.tokens, scene.pos, scene.ori, scene.mask, traj, vel, rng)
         carry, ys = jax.lax.scan(body, carry0, jnp.arange(R))
         _, _, _, _, traj, vel, _ = carry
