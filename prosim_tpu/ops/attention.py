@@ -64,9 +64,11 @@ class RelPE(nn.Module):
                 dtype=self.dtype,
                 name="fourier",
             )(pe_input)
-        return FourierEmbeddingFix(num_pos_feats=self.hidden_dim // 4, name="fourier_fix")(
-            pe_input
-        )
+        # cast to the model dtype: under bf16 the [B, Q, K, D] PE tensors are
+        # the largest HBM residents in the rollout/training graphs
+        return FourierEmbeddingFix(
+            num_pos_feats=self.hidden_dim // 4, name="fourier_fix"
+        )(pe_input).astype(self.dtype)
 
 
 class GatedNeighborAttention(nn.Module):
