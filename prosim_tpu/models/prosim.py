@@ -226,7 +226,16 @@ class ProSim:
         """Full closed-loop pass. Returns output dict with stacked per-step
         predictions and final rollout trajectories."""
         rng, prep_rng = jax.random.split(rng)
-        scene, policy_emd, prompt_loss_aux = self.prepare(params, batch, mode, prep_rng)
+        prepare = self.prepare
+        if mode == "train":
+            # remat the encode/decode stage too: its attention activations
+            # otherwise stay resident across the whole scan for backward
+            prepare = jax.checkpoint(
+                lambda p, b, k: self.prepare(p, b, mode, k), static_argnums=()
+            )
+            scene, policy_emd, prompt_loss_aux = prepare(params, batch, prep_rng)
+        else:
+            scene, policy_emd, prompt_loss_aux = prepare(params, batch, mode, prep_rng)
         return self.rollout_scan(
             params, batch, scene, policy_emd, mode, rng, prompt_loss_aux
         )
