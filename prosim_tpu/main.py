@@ -61,7 +61,10 @@ def run_exp(run_type: str, exp_config, opts, cache_dir=None):
         val_ds = ProSimImitationDataset(config, "val", cache_dir)
         trainer = Trainer(config)
         trainer.setup(next(iter(val_ds.batches(config.VAL.BATCH_SIZE))))
-        print(trainer.evaluate(lambda: val_ds.batches(config.VAL.BATCH_SIZE)))
+        if config.PROMPT.CONDITION.EVAL_COND_SETS:
+            print(trainer.evaluate_cond_sets(cache_dir))
+        else:
+            print(trainer.evaluate(lambda: val_ds.batches(config.VAL.BATCH_SIZE)))
         return
 
     if run_type == "rollout":

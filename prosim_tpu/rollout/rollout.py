@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from prosim_tpu.data.batch import SceneBatch, SceneTokens
+from prosim_tpu.data.batch import Condition, SceneBatch, SceneTokens
 from prosim_tpu.utils.geometry import rotate_2d, wrap_angle
 
 
@@ -108,3 +108,74 @@ def crash_and_goal_metrics(world_xyh, extents, agent_mask, goals_world,
         agent_mask.sum(), 1, None
     )
     return {"crash_rate": crash_rate, "goal_reach_rate": goal_rate}
+
+def sample_goal_conditions(goal_point, goal_prob, prompt_mask, m, rng,
+                           top_k: int = 8, stop_smooth: float = 5.0,
+                           horizon: float = 80.0) -> Condition:
+    """Per-replica goal conditions from a goal-sampler model's K-goal heads
+    (reference: gpu_utils.py:125-177 sample_M_goal_cond_to_batch): each of the
+    m replicas independently picks one of every agent's top-K goals; goals
+    within `stop_smooth` metres of the origin snap to (0, 0) (stopping).
+
+    goal_point [B, N, K, 2], goal_prob [B, N, K] -> Condition with feat
+    [B*m, N, 3] = (x, y, horizon), replicas of scene i at rows i*m..i*m+m-1.
+    """
+    B, N, K, _ = goal_point.shape
+    k_eff = min(top_k, K)
+    _, topk_idx = jax.lax.top_k(goal_prob, k_eff)               # [B, N, k]
+    pick = jax.random.randint(rng, (B, m, N), 0, k_eff)
+    sel = jnp.take_along_axis(
+        jnp.broadcast_to(topk_idx[:, None], (B, m, N, k_eff)),
+        pick[..., None], axis=-1,
+    )[..., 0]                                                    # [B, m, N]
+    goals = jnp.take_along_axis(
+        jnp.broadcast_to(goal_point[:, None], (B, m, N, K, 2)),
+        sel[..., None, None], axis=3,
+    )[:, :, :, 0, :]                                             # [B, m, N, 2]
+    stop = (jnp.abs(goals[..., 0]) < stop_smooth) & (jnp.abs(goals[..., 1]) < stop_smooth)
+    goals = jnp.where(stop[..., None], 0.0, goals)
+
+    feat = jnp.concatenate(
+        [goals, jnp.full((B, m, N, 1), horizon, goals.dtype)], axis=-1
+    ).reshape(B * m, N, 3)
+    mask = jnp.broadcast_to(prompt_mask[:, None], (B, m, N)).reshape(B * m, N)
+    prompt_idx = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[None, :, None], (B * m, N, 1)
+    )
+    return Condition(feat=feat, mask=mask, prompt_idx=prompt_idx, prompt_mask=mask)
+
+
+def parallel_rollout_with_sampler(model, params, batch: SceneBatch, m: int, rng,
+                                  sampler_model, sampler_params,
+                                  top_k: int = 8, stop_smooth: float = 5.0,
+                                  mode: str = "rollout") -> Dict:
+    """M-replica rollout where a goal-sampler model proposes a distinct goal
+    condition per replica (reference: gpu_utils.py:199-216): encode the scene
+    once, tile, attach sampled goal conditions, then decode per-replica
+    policies and run one batched scan."""
+    rng, r_s, r_g, r_sel = jax.random.split(rng, 4)
+    _, s_emd, _ = sampler_model.prepare(sampler_params, batch, "val", r_s)
+    if "goal_point" not in s_emd:
+        raise ValueError("sampler model has no goal heads (DECODER.GOAL_PRED)")
+    goal_cond = sample_goal_conditions(
+        s_emd["goal_point"], s_emd["goal_prob"], batch.prompt.mask, m, r_g,
+        top_k=top_k, stop_smooth=stop_smooth,
+    )
+
+    scene = model.encode_scene(params, batch)
+    prompt_emb = model.encode_prompt(params, batch)
+    scene_m = SceneTokens(
+        tokens=_tile(scene.tokens, m), pos=_tile(scene.pos, m),
+        ori=_tile(scene.ori, m), mask=_tile(scene.mask, m),
+        num_map=scene.num_map,
+    )
+    batch_m = tile_batch_for_replicas(batch, m)
+    conds = dict(batch_m.conditions)
+    conds["goal"] = goal_cond
+    batch_m = batch_m.replace(conditions=conds)
+
+    policy_emd, aux = model.generate_policy(
+        params, batch_m, scene_m, _tile(prompt_emb, m)
+    )
+    policy_emd = model.select_k_emd(policy_emd, batch_m, mode, r_sel)
+    return model.rollout_scan(params, batch_m, scene_m, policy_emd, mode, rng, aux)

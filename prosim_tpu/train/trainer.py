@@ -116,6 +116,26 @@ class Trainer:
         self.log({"step": self.step, **{f"val/{k}": v for k, v in metrics.items()}})
         return metrics
 
+    def evaluate_cond_sets(self, cache_dir, split="val", batch_size=None):
+        """One eval pass per PROMPT.CONDITION.EVAL_COND_SETS entry, each with
+        its own condition generator and metric namespace (reference:
+        prosim/trainer.py:198-206, metrics/base.py per-cond-set instances)."""
+        from prosim_tpu.config import get_cond_set_config
+        from prosim_tpu.data.dataset import ProSimImitationDataset
+
+        batch_size = batch_size or self.config.VAL.BATCH_SIZE
+        out = {}
+        for name in self.config.PROMPT.CONDITION.EVAL_COND_SETS:
+            cfg = get_cond_set_config(self.config, name)
+            ds = ProSimImitationDataset(cfg, split, cache_dir)
+            metrics = self.evaluate(lambda: ds.batches(batch_size))
+            self.log({
+                "step": self.step,
+                **{f"val/{name}/{k}": v for k, v in metrics.items()},
+            })
+            out[name] = metrics
+        return out
+
     # ------------------------------------------------------------ checkpoints
     def save_checkpoint(self, tag: str):
         import orbax.checkpoint as ocp

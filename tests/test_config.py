@@ -45,3 +45,19 @@ def test_yaml_merge(tmp_path):
     cfg = get_config(str(yaml_file))
     assert cfg.MODEL.HIDDEN_DIM == 256
     assert cfg.TRAIN.BATCH_SIZE == 4
+
+
+def test_cond_set_config():
+    """Condition-set override yamls (reference: trainer.py:35-49)."""
+    from prosim_tpu.config import get_cond_set_config, get_config
+
+    cfg = get_config()
+    un = get_cond_set_config(cfg, "uncondition")
+    assert list(un.PROMPT.CONDITION.TYPES) == []
+    assert un.PROMPT.CONDITION.SAMPLE_MODE.VAL == "none"
+    base = get_cond_set_config(cfg, "base")
+    assert "goal" in base.PROMPT.CONDITION.TYPES
+    assert base.PROMPT.CONDITION.SAMPLE_RATE == 0.25
+    assert base.is_frozen()
+    # untouched keys survive
+    assert base.MODEL.HIDDEN_DIM == cfg.MODEL.HIDDEN_DIM

@@ -160,3 +160,68 @@ def test_interactive_sim_api():
     assert os.path.getsize(p) > 1000
     g = sim.animate("/tmp/test_sim.gif", out2, stride=20)
     assert os.path.getsize(g) > 1000
+
+
+def test_goal_sampler_parallel_rollout():
+    """Sampler-proposed per-replica goal conditions
+    (reference: gpu_utils.py:125-177,199-216)."""
+    from prosim_tpu.models.prosim import ProSim
+    from prosim_tpu.rollout.rollout import (
+        parallel_rollout_with_sampler,
+        sample_goal_conditions,
+    )
+
+    # unit: sampling picks only top-k goals, smooths stops, tiles correctly
+    B, N, K, m = 2, 3, 4, 5
+    rng = np.random.default_rng(0)
+    gp = jnp.asarray(rng.normal(scale=30, size=(B, N, K, 2)), jnp.float32)
+    gp = gp.at[0, 0, 1].set(jnp.asarray([1.0, -2.0]))  # near-stop goal
+    probs = jnp.asarray(rng.random((B, N, K)), jnp.float32)
+    pmask = jnp.ones((B, N), bool)
+    cond = sample_goal_conditions(gp, probs, pmask, m, jax.random.PRNGKey(0),
+                                  top_k=2, stop_smooth=5.0)
+    assert cond.feat.shape == (B * m, N, 3)
+    assert np.allclose(np.asarray(cond.feat[..., 2]), 80.0)
+    top2 = np.take_along_axis(
+        np.asarray(gp), np.argsort(-np.asarray(probs))[..., :2, None], axis=2
+    )
+    for b in range(B * m):
+        for n in range(N):
+            g = np.asarray(cond.feat[b, n, :2])
+            cands = top2[b // m, n]
+            smoothed = np.where(np.all(np.abs(cands) < 5.0, -1, keepdims=True), 0.0, cands)
+            assert any(np.allclose(g, c, atol=1e-5) for c in smoothed)
+
+    # end-to-end: sampler model with goal heads drives a small rollout
+    cfg_main = get_config(opts=SMALL_OPTS + ["PROMPT.CONDITION.TYPES", "['goal']"])
+    cfg_sampler = get_config(opts=SMALL_OPTS + [
+        "MODEL.DECODER.GOAL_PRED.ENABLE", "True",
+        "MODEL.DECODER.GOAL_PRED.K", "4",
+    ])
+    from prosim_tpu.data.synthetic import make_synthetic_batch
+
+    batch = make_synthetic_batch(
+        cfg_main, batch_size=1, num_lanes=16, num_obs_agents=8, num_agents=4,
+        num_replan=2,
+    )
+    main = ProSim(cfg_main)
+    sampler = ProSim(cfg_sampler)
+    p_main = main.init(jax.random.PRNGKey(0), batch)
+    p_sampler = sampler.init(jax.random.PRNGKey(1), batch)
+    # stop_smooth=0: a random-init sampler emits near-zero goals which the
+    # 5 m stop-snap would collapse to identical (0, 0) conditions
+    out = parallel_rollout_with_sampler(
+        main, p_main, batch, 3, jax.random.PRNGKey(2), sampler, p_sampler,
+        top_k=2, stop_smooth=0.0,
+    )
+    rt = np.asarray(out["rollout_traj"])
+    assert rt.shape[0] == 3
+    mask = np.asarray(batch.prompt.mask)[0]
+    assert np.isfinite(rt[:, mask]).all()
+    # at least one replica pair drew different goals -> different rollouts
+    # (any fixed pair can tie: top_k=2 picks over 4 agents collide ~6%)
+    pair_delta = max(
+        np.abs(rt[i, mask] - rt[j, mask]).max()
+        for i in range(3) for j in range(i + 1, 3)
+    )
+    assert pair_delta > 1e-4
