@@ -137,6 +137,27 @@ class Trainer:
         return out
 
     # ------------------------------------------------------------ checkpoints
+    @staticmethod
+    def _strip_frozen_llm(params):
+        """Drop the frozen LLM body from a params tree, keeping LoRA leaves
+        (reference: models/base.py:134-139 on_save_checkpoint) -- a Llama3-8B
+        body would otherwise add ~16 GB per checkpoint."""
+        def walk(node, in_llm):
+            if not isinstance(node, dict):
+                return node
+            out = {}
+            for k, v in node.items():
+                inside = in_llm or k == "llm"
+                if isinstance(v, dict):
+                    sub = walk(v, inside)
+                    if sub:
+                        out[k] = sub
+                elif not inside or k.startswith("lora"):
+                    out[k] = v
+            return out
+
+        return walk(params, False)
+
     def save_checkpoint(self, tag: str):
         import orbax.checkpoint as ocp
 
@@ -145,7 +166,9 @@ class Trainer:
         ckptr.save(
             path,
             {
-                "params": jax.tree.map(np.asarray, self.params),
+                "params": self._strip_frozen_llm(
+                    jax.tree.map(np.asarray, self.params)
+                ),
                 "step": self.step,
             },
             force=True,
@@ -153,15 +176,28 @@ class Trainer:
         ckptr.wait_until_finished()
 
     def load_checkpoint(self, path: str):
+        """Non-strict restore (reference: models/base.py:141-147): leaves
+        absent from the checkpoint (the stripped frozen LLM body) keep their
+        current values."""
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
+        current = jax.tree.map(np.asarray, self.params)
         target = {
-            "params": jax.tree.map(np.asarray, self.params),
+            "params": self._strip_frozen_llm(current),
             "step": 0,
         }
         restored = ckptr.restore(os.path.abspath(path), target)
-        self.params = replicate(restored["params"], self.mesh)
+
+        def merge(cur, res):
+            if not isinstance(cur, dict):
+                return res
+            return {
+                k: merge(v, res[k]) if k in res else v for k, v in cur.items()
+            }
+
+        merged = merge(current, restored["params"])
+        self.params = replicate(merged, self.mesh)
         self.step = int(restored["step"])
 
     # -------------------------------------------------------------- profiling
