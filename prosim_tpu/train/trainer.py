@@ -80,6 +80,8 @@ class Trainer:
                 self.step += 1
                 if self.step % 10 == 0 or max_steps:
                     loss = float(losses["full_loss"])
+                    if not np.isfinite(loss):
+                        self._dump_error_batch(batch, losses)
                     self.log({
                         "step": self.step,
                         "epoch": epoch,
@@ -135,6 +137,22 @@ class Trainer:
             })
             out[name] = metrics
         return out
+
+    def _dump_error_batch(self, batch, losses):
+        """Serialize a batch that produced a non-finite loss for offline
+        debugging (reference: loss_func.py:203-213 error-batch dumper)."""
+        import jax.tree_util as jtu
+
+        path = os.path.join(self.run_dir, f"error_batch_step{self.step}.npz")
+        arrays = {}
+        for kp, leaf in jtu.tree_leaves_with_path(batch):
+            if hasattr(leaf, "shape"):
+                arrays[jtu.keystr(kp)] = np.asarray(leaf)
+        for k, v in losses.items():
+            arrays[f"loss/{k}"] = np.asarray(v)
+        np.savez_compressed(path, **arrays)
+        self.log({"step": self.step, "error_batch": path})
+        return path
 
     # ------------------------------------------------------------ checkpoints
     @staticmethod

@@ -166,3 +166,41 @@ def save_rollout_gif(batch, output, path, bidx=0, stride=2, fps=10, **kwargs):
     anim.save(path, writer=PillowWriter(fps=fps))
     plt.close(fig)
     return path
+
+def plot_goal_heatmap(batch, goal_point, goal_prob, path, bidx=0, agent=0,
+                      sigma=8.0, bins=200, **kwargs):
+    """Heatmap of an agent's predicted K-goal distribution over the scene
+    (reference: models/utils/visualization.py:22-115
+    vis_scene_goal_pred_heatmap). goal_point [B, N, K, 2] in the agent frame,
+    goal_prob [B, N, K]."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from scipy.ndimage import gaussian_filter
+
+    fig = plot_scene(batch, bidx=bidx, **kwargs)
+    ax = fig.axes[0]
+
+    ori = float(np.asarray(batch.prompt.ori[bidx, agent]))
+    pos = np.asarray(batch.prompt.pos[bidx, agent])
+    c, s = np.cos(ori), np.sin(ori)
+    R = np.array([[c, -s], [s, c]])
+    pts = np.asarray(goal_point[bidx, agent]) @ R.T + pos  # [K, 2] scene frame
+    prob = np.asarray(goal_prob[bidx, agent])
+    prob = np.exp(prob - prob.max())
+    prob = prob / prob.sum()
+
+    lim = ax.get_xlim()
+    hm, xe, ye = np.histogram2d(
+        pts[:, 0], pts[:, 1], bins=bins,
+        range=[ax.get_xlim(), ax.get_ylim()], weights=prob,
+    )
+    hm = gaussian_filter(hm.T, sigma=sigma)
+    ax.imshow(
+        hm, extent=(*ax.get_xlim(), *ax.get_ylim()), origin="lower",
+        cmap="jet", alpha=0.5, zorder=6,
+    )
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path

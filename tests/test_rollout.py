@@ -225,3 +225,28 @@ def test_goal_sampler_parallel_rollout():
         for i in range(3) for j in range(i + 1, 3)
     )
     assert pair_delta > 1e-4
+
+
+def test_goal_heatmap_plot(tmp_path):
+    """Goal-distribution heatmap (reference: visualization.py:22-115)."""
+    import os
+
+    CACHE = "/root/reference/demo_dataset/trajdata_cache"
+    if not os.path.isdir(CACHE):
+        pytest.skip("demo cache absent")
+    from prosim_tpu.data.dataset import ProSimImitationDataset
+    from prosim_tpu.viz.plots import plot_goal_heatmap
+
+    cfg = get_config(opts=[
+        "DATASET.FORMAT.PAD.NUM_LANES", "64",
+        "DATASET.FORMAT.MAP.MAX_POINTS", "64",
+        "DATASET.SOURCE.VAL", "['waymo_train']",
+    ])
+    ds = ProSimImitationDataset(cfg, "val", CACHE)
+    b = ds.get_scene_batch(0)
+    N = b.prompt.mask.shape[1]
+    rng = np.random.default_rng(0)
+    gp = rng.normal(scale=20, size=(1, N, 16, 2)).astype(np.float32)
+    prob = rng.random((1, N, 16)).astype(np.float32)
+    p = plot_goal_heatmap(b, gp, prob, str(tmp_path / "hm.png"))
+    assert os.path.getsize(p) > 1000

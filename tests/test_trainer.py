@@ -113,3 +113,15 @@ def test_checkpoint_roundtrip_nonstrict(trained):
     )
     emb_b, emb_a = find(before, "embed_tokens"), find(after, "embed_tokens")
     np.testing.assert_allclose(emb_a, emb_b + 1.0, atol=1e-5)  # kept current
+
+
+def test_error_batch_dumper(trained, tmp_path):
+    """Non-finite loss serializes the batch (reference: loss_func.py:203-213)."""
+    import os
+
+    cfg, trainer, batch = trained
+    p = trainer._dump_error_batch(batch, {"full_loss": np.float32("nan")})
+    assert os.path.getsize(p) > 1000
+    data = np.load(p)
+    assert any("init_obs" in k for k in data.files)
+    assert np.isnan(data["loss/full_loss"])
