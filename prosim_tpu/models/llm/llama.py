@@ -251,3 +251,77 @@ def embed_with_agent_tokens(embed_table, input_ids, agent_embs, agent_slot_ids,
     if add_mode:
         repl = base + repl
     return jnp.where((agent_slot_ids >= 0)[..., None], repl, base)
+
+def load_hf_llama_params(path, cfg: LlamaConfig, rng_seed: int = 0,
+                         with_lm_head: bool = False) -> dict:
+    """Load HF-format Llama weights (safetensors shards) into the LlamaModel
+    params layout (reference loads via AutoModelForCausalLM + resizes the
+    embedding for the 128 agent tokens, text_attns.py:78-138).
+
+    `path` is a directory containing *.safetensors (HF hub layout). The
+    embedding/LM head rows for the agent tokens are initialized from the
+    mean embedding (HF resize_token_embeddings convention). LoRA leaves, when
+    cfg.lora_rank > 0, are freshly initialized (A ~ N(0, 0.02), B = 0).
+    """
+    import glob as _glob
+    import os
+
+    import numpy as np
+    from safetensors import safe_open
+
+    shards = sorted(_glob.glob(os.path.join(path, "*.safetensors")))
+    if not shards:
+        raise FileNotFoundError(f"no .safetensors under {path}")
+
+    tensors = {}
+    for shard in shards:
+        with safe_open(shard, framework="numpy") as f:
+            for key in f.keys():
+                tensors[key] = f.get_tensor(key)
+
+    def t(key):
+        if key not in tensors:
+            raise KeyError(f"missing weight '{key}' in {path}")
+        return np.asarray(tensors[key])
+
+    def extend_vocab(w):
+        # [V, H] -> [V + num_agent_tokens, H]; new rows = mean row
+        mean = w.mean(axis=0, keepdims=True)
+        extra = np.repeat(mean, cfg.num_agent_tokens, axis=0)
+        return np.concatenate([w.astype(np.float32), extra.astype(np.float32)], 0)
+
+    rng = np.random.default_rng(rng_seed)
+    params = {"embed_tokens": extend_vocab(t("model.embed_tokens.weight")),
+              "final_norm": {"scale": t("model.norm.weight")}}
+    if cfg.lora_rank > 0:
+        params["lora_embed_a"] = rng.normal(
+            0, 0.02, (cfg.total_vocab, cfg.lora_rank)).astype(np.float32)
+        params["lora_embed_b"] = np.zeros(
+            (cfg.lora_rank, cfg.hidden_size), np.float32)
+
+    for i in range(cfg.num_layers):
+        hf = f"model.layers.{i}"
+        layer = {
+            "input_norm": {"scale": t(f"{hf}.input_layernorm.weight")},
+            "post_attn_norm": {"scale": t(f"{hf}.post_attention_layernorm.weight")},
+        }
+        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            layer[proj] = {"kernel": t(f"{hf}.self_attn.{proj}.weight").T}
+        for proj in ("gate_proj", "up_proj", "down_proj"):
+            layer[proj] = {"kernel": t(f"{hf}.mlp.{proj}.weight").T}
+        if cfg.lora_rank > 0:
+            for proj in ("q_proj", "k_proj", "v_proj"):
+                in_dim = layer[proj]["kernel"].shape[0]
+                out_dim = layer[proj]["kernel"].shape[1]
+                layer[proj]["lora_a"] = rng.normal(
+                    0, 0.02, (in_dim, cfg.lora_rank)).astype(np.float32)
+                layer[proj]["lora_b"] = np.zeros(
+                    (cfg.lora_rank, out_dim), np.float32)
+        params[f"layer_{i}"] = layer
+
+    if with_lm_head:
+        lm = tensors.get("lm_head.weight")
+        if lm is None:  # tied embeddings
+            lm = t("model.embed_tokens.weight")
+        params["lm_head"] = extend_vocab(np.asarray(lm)).T
+    return params

@@ -231,3 +231,53 @@ def test_prompt_token_block_modes():
         # addressed agents get a residual; unaddressed stay untouched
         assert np.abs(out[0, [1, 3]] - ref[0, [1, 3]]).max() > 1e-6, mode
         np.testing.assert_array_equal(out[0, [0, 2]], ref[0, [0, 2]])
+
+
+def test_hf_llama_weight_loader(tmp_path):
+    """HF safetensors -> LlamaModel params (reference loads via HF
+    AutoModelForCausalLM and resizes embeddings, text_attns.py:78-138)."""
+    from safetensors.numpy import save_file
+
+    from prosim_tpu.models.llm.llama import load_hf_llama_params
+
+    cfg = LlamaConfig.tiny(lora_rank=2)
+    H, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    rng = np.random.default_rng(0)
+    hf = {"model.embed_tokens.weight": rng.normal(size=(V, H)).astype(np.float32),
+          "model.norm.weight": rng.normal(size=(H,)).astype(np.float32)}
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}"
+        hf[f"{p}.input_layernorm.weight"] = rng.normal(size=(H,)).astype(np.float32)
+        hf[f"{p}.post_attention_layernorm.weight"] = rng.normal(size=(H,)).astype(np.float32)
+        hf[f"{p}.self_attn.q_proj.weight"] = rng.normal(size=(cfg.num_heads * cfg.head_dim, H)).astype(np.float32)
+        hf[f"{p}.self_attn.k_proj.weight"] = rng.normal(size=(cfg.num_kv_heads * cfg.head_dim, H)).astype(np.float32)
+        hf[f"{p}.self_attn.v_proj.weight"] = rng.normal(size=(cfg.num_kv_heads * cfg.head_dim, H)).astype(np.float32)
+        hf[f"{p}.self_attn.o_proj.weight"] = rng.normal(size=(H, H)).astype(np.float32)
+        hf[f"{p}.mlp.gate_proj.weight"] = rng.normal(size=(I, H)).astype(np.float32)
+        hf[f"{p}.mlp.up_proj.weight"] = rng.normal(size=(I, H)).astype(np.float32)
+        hf[f"{p}.mlp.down_proj.weight"] = rng.normal(size=(H, I)).astype(np.float32)
+    save_file(hf, str(tmp_path / "model-00001-of-00001.safetensors"))
+
+    params = load_hf_llama_params(str(tmp_path), cfg)
+    # transposition + vocab extension
+    np.testing.assert_allclose(
+        params["layer_0"]["q_proj"]["kernel"],
+        hf["model.layers.0.self_attn.q_proj.weight"].T,
+    )
+    emb = params["embed_tokens"]
+    assert emb.shape == (cfg.total_vocab, H)
+    np.testing.assert_allclose(emb[V:], np.broadcast_to(emb[:V].mean(0), (cfg.num_agent_tokens, H)), rtol=1e-5)
+    assert params["layer_0"]["q_proj"]["lora_b"].max() == 0.0
+
+    # structural match with a flax init tree and a working forward
+    model = LlamaModel(cfg)
+    ids = jnp.asarray(np.arange(12)[None] % V)
+    init = jax.tree.map(
+        lambda x: np.asarray(getattr(x, "value", x)),
+        model.init(jax.random.PRNGKey(0), ids)["params"],
+        is_leaf=lambda x: hasattr(x, "value"),
+    )
+    got = {k: jax.tree.map(np.asarray, v) for k, v in params.items()}
+    assert jax.tree.map(np.shape, got) == jax.tree.map(np.shape, init)
+    out = model.apply({"params": params}, ids)
+    assert np.isfinite(np.asarray(out)).all()
