@@ -34,6 +34,7 @@ class ConditionTransformer(nn.Module):
     pool: str = "mean"
     use_temporal_pe: bool = True
     text_attn_type: str = "none"
+    llm_arch: str = "auto"
     llm_weights_path: str = ""
     lora_rank: int = 16
     text_prompt_mask_pred: bool = True
@@ -85,10 +86,8 @@ class ConditionTransformer(nn.Module):
                 from prosim_tpu.models.llm.llama import LlamaConfig
                 from prosim_tpu.models.llm.text_attn import LlamaTextAttn
 
-                llm_cfg = (
-                    LlamaConfig.llama3_8b(lora_rank=self.lora_rank)
-                    if self.llm_weights_path
-                    else LlamaConfig.tiny(lora_rank=self.lora_rank)
+                llm_cfg = _resolve_llm_config(
+                    self.llm_arch, self.llm_weights_path, self.lora_rank
                 )
                 self.text_attn = LlamaTextAttn(
                     hidden_dim=self.hidden_dim,
@@ -146,6 +145,7 @@ def build_condition_transformer(config, dtype=jnp.float32) -> ConditionTransform
         pool=ct.COND_POOL_FUNC,
         use_temporal_pe=ct.USE_TEMPORAL_ENCODING,
         text_attn_type=ct.TEXT_ATTN.TYPE if text_types else "none",
+        llm_arch=ct.CONDITION_ENCODER.TEXT.LLM.ARCH,
         llm_weights_path=ct.CONDITION_ENCODER.TEXT.LLM.WEIGHTS_PATH,
         lora_rank=ct.TEXT_ATTN.LORA.R if ct.TEXT_ATTN.LORA.ENABLE else 0,
         text_prompt_mask_pred=ct.CONDITION_ENCODER.TEXT.LLM.PROMPT_LOSS.PROMPT_MASK_PRED,
@@ -157,3 +157,52 @@ def build_condition_transformer(config, dtype=jnp.float32) -> ConditionTransform
         dropout=ct.DROPOUT,
         dtype=dtype,
     )
+
+def _resolve_llm_config(arch: str, weights_path: str, lora_rank: int):
+    from prosim_tpu.models.llm.llama import LlamaConfig
+
+    if arch == "tiny" or (arch == "auto" and not weights_path):
+        return LlamaConfig.tiny(lora_rank=lora_rank)
+    return LlamaConfig.llama3_8b(lora_rank=lora_rank)
+
+
+def load_text_llm_weights(config, params):
+    """When TEXT.LLM.WEIGHTS_PATH is set, load the HF Llama weights into every
+    condition transformer's text_attn.llm subtree (frozen body; LoRA leaves
+    fresh). Preserves flax Partitioned sharding boxes. Returns params."""
+    import jax
+    import jax.numpy as jnp
+
+    ct_cfg = config.MODEL.CONDITION_TRANSFORMER
+    path = ct_cfg.CONDITION_ENCODER.TEXT.LLM.WEIGHTS_PATH
+    if not path:
+        return params
+    from prosim_tpu.models.llm.llama import load_hf_llama_params
+
+    lora = ct_cfg.TEXT_ATTN.LORA
+    llm_cfg = _resolve_llm_config(
+        ct_cfg.CONDITION_ENCODER.TEXT.LLM.ARCH, path,
+        lora.R if lora.ENABLE else 0,
+    )
+    loaded = load_hf_llama_params(path, llm_cfg)
+
+    def merge(init_leaf, new_leaf):
+        if hasattr(init_leaf, "replace_boxed"):
+            return init_leaf.replace_boxed(
+                jnp.asarray(new_leaf, init_leaf.value.dtype)
+            )
+        return jnp.asarray(new_leaf, init_leaf.dtype)
+
+    out = dict(params)
+    for key in list(params):
+        if not key.startswith("condition_transformer_"):
+            continue
+        sub = params[key]
+        if "text_attn" not in sub or "llm" not in sub["text_attn"]:
+            continue
+        merged = jax.tree.map(
+            merge, sub["text_attn"]["llm"], loaded,
+            is_leaf=lambda x: hasattr(x, "replace_boxed"),
+        )
+        out[key] = {**sub, "text_attn": {**sub["text_attn"], "llm": merged}}
+    return out

@@ -77,7 +77,12 @@ class ProSim:
         per-submodule applies below would otherwise issue hundreds of small
         device dispatches, which dominates startup on a remote-TPU tunnel
         (~minutes for the full-size model vs seconds jitted)."""
-        return jax.jit(self._init_impl)(rng, batch)
+        params = jax.jit(self._init_impl)(rng, batch)
+        if self.condition_transformers:
+            from prosim_tpu.models.condition.transformer import load_text_llm_weights
+
+            params = load_text_llm_weights(self.config, params)
+        return params
 
     def _init_impl(self, rng, batch: SceneBatch) -> Dict[str, Any]:
         r1, r2, r3, r4, r5 = jax.random.split(rng, 5)

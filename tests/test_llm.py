@@ -281,3 +281,59 @@ def test_hf_llama_weight_loader(tmp_path):
     assert jax.tree.map(np.shape, got) == jax.tree.map(np.shape, init)
     out = model.apply({"params": params}, ids)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_weights_path_loads_into_model(tmp_path):
+    """WEIGHTS_PATH end-to-end: ProSim.init pulls the HF weights into the
+    condition transformer's llm subtree (reference: text_attns.py:78-94)."""
+    from safetensors.numpy import save_file
+
+    from prosim_tpu.config import get_config
+    from prosim_tpu.data.synthetic import make_synthetic_batch
+    from prosim_tpu.models.prosim import ProSim
+
+    cfg_tiny = LlamaConfig.tiny(lora_rank=16)
+    H, I, V = cfg_tiny.hidden_size, cfg_tiny.intermediate_size, cfg_tiny.vocab_size
+    rng = np.random.default_rng(0)
+    hf = {"model.embed_tokens.weight": rng.normal(size=(V, H)).astype(np.float32),
+          "model.norm.weight": rng.normal(size=(H,)).astype(np.float32)}
+    for i in range(cfg_tiny.num_layers):
+        p = f"model.layers.{i}"
+        hf[f"{p}.input_layernorm.weight"] = rng.normal(size=(H,)).astype(np.float32)
+        hf[f"{p}.post_attention_layernorm.weight"] = rng.normal(size=(H,)).astype(np.float32)
+        hf[f"{p}.self_attn.q_proj.weight"] = rng.normal(size=(H, H)).astype(np.float32)
+        hf[f"{p}.self_attn.k_proj.weight"] = rng.normal(size=(cfg_tiny.num_kv_heads * cfg_tiny.head_dim, H)).astype(np.float32)
+        hf[f"{p}.self_attn.v_proj.weight"] = rng.normal(size=(cfg_tiny.num_kv_heads * cfg_tiny.head_dim, H)).astype(np.float32)
+        hf[f"{p}.self_attn.o_proj.weight"] = rng.normal(size=(H, H)).astype(np.float32)
+        hf[f"{p}.mlp.gate_proj.weight"] = rng.normal(size=(I, H)).astype(np.float32)
+        hf[f"{p}.mlp.up_proj.weight"] = rng.normal(size=(I, H)).astype(np.float32)
+        hf[f"{p}.mlp.down_proj.weight"] = rng.normal(size=(H, I)).astype(np.float32)
+    save_file(hf, str(tmp_path / "model.safetensors"))
+
+    cfg = get_config(opts=[
+        "MODEL.SCENE_ENCODER.ATTN.NUM_LAYER", "1",
+        "MODEL.DECODER.ATTN.NUM_LAYER", "1",
+        "MODEL.POLICY.ACT_DECODER.ATTN.NUM_LAYER", "1",
+        "MODEL.HIDDEN_DIM", "16",
+        "MODEL.SCENE_ENCODER.ATTN.FF_DIM", "2",
+        "MODEL.DECODER.ATTN.FF_DIM", "2",
+        "MODEL.POLICY.ACT_DECODER.ATTN.FF_DIM", "2",
+        "MODEL.SCENE_ENCODER.ATTN.MAX_NUM_NEIGH", "4",
+        "MODEL.DECODER.ATTN.MAX_NUM_NEIGH", "4",
+        "MODEL.POLICY.ACT_DECODER.ATTN.MAX_NUM_NEIGH", "4",
+        "PROMPT.CONDITION.TYPES", "['llm_text_OneText']",
+        "MODEL.CONDITION_TRANSFORMER.CONDITION_ENCODER.TEXT.LLM.MAX_TEXT_TOKENS", "32",
+        "MODEL.CONDITION_TRANSFORMER.CONDITION_ENCODER.TEXT.LLM.ARCH", "tiny",
+        "MODEL.CONDITION_TRANSFORMER.CONDITION_ENCODER.TEXT.LLM.WEIGHTS_PATH", str(tmp_path),
+    ])
+    model = ProSim(cfg)
+    batch = make_synthetic_batch(cfg, batch_size=1, num_lanes=8,
+                                 num_obs_agents=6, num_agents=4, num_replan=2)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    llm = params["condition_transformer_policy_decoder"]["text_attn"]["llm"]
+    emb = llm["embed_tokens"]
+    emb = np.asarray(getattr(emb, "value", emb))
+    np.testing.assert_allclose(emb[:V], hf["model.embed_tokens.weight"], atol=1e-6)
+    out = model.forward(params, batch, "val", jax.random.PRNGKey(1))
+    mask = np.asarray(batch.prompt.mask)
+    assert np.isfinite(np.asarray(out["rollout_traj"])[mask]).all()
