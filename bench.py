@@ -67,7 +67,7 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--lanes", type=int, default=2048)
     ap.add_argument("--obs-agents", type=int, default=160)
     ap.add_argument("--agents", type=int, default=128)
