@@ -157,7 +157,7 @@ class ConditionGenerator:
         v = len(valid_idx)
         if mode == "none":
             n = v
-        elif mode == "fix":
+        elif mode in ("fix", "fix_sample_rate"):  # reference spelling accepted
             n = int(v * self.cond_cfg.SAMPLE_RATE)
         elif mode == "uniform":
             n = int(rng.integers(0, v + 1))
@@ -198,7 +198,14 @@ class ConditionGenerator:
             "prompt_valid": prompt_valid,
         }
 
-        if tags is None and any(t in ("v_action_tag", "v2v_tag") for t in self.types):
+        # tag-templated texts also need derived tags (the fallback when the
+        # 520k release is absent), so derive for text types too
+        needs_tags = any(
+            t in ("v_action_tag", "v2v_tag", "motion_tag_OneText",
+                  "llm_text_OneText")
+            for t in self.types
+        )
+        if tags is None and needs_tags:
             mt_cfg = self.cond_cfg.MOTION_TAG
             fut_horizon = int(np.asarray(io.t_indices)[-1]) + self.config.DATASET.FORMAT.TARGET.STEPS
             raw = derive_motion_tags(
@@ -278,6 +285,14 @@ class ConditionGenerator:
                     continue
                 if self.cond_cfg.USE_PRIORITY_MASK:
                     twv = [(t, s) for t, s in twv if not covered[s]]
+                if self.cond_cfg.OneText.USE_PLACEHOLDER:
+                    # ablation: strip semantic content, keep agent reference
+                    # (reference: condition_utils.py:275-279)
+                    twv = [
+                        (f"{AGENT_TEMPLATE.format(s)} is there." if s >= 0
+                         else "placeholder.", s)
+                        for _, s in twv
+                    ]
                 text, pmask = concat_one_text(twv, N_pad, rng=prng)
                 covered |= pmask
                 out[ctype] = build_one_text_condition(

@@ -224,3 +224,30 @@ def test_520k_llm_text_loader(tmp_path):
     s = text_bytes.decode("utf-8", "replace")
     assert "drives toward the intersection" in s
     assert "unknown agent" not in s  # line with no prompt agents dropped
+
+
+def test_one_text_placeholder_ablation():
+    """OneText.USE_PLACEHOLDER strips semantics but keeps agent reference
+    (reference: condition_utils.py:275-279)."""
+    import os
+
+    CACHE = "/root/reference/demo_dataset/trajdata_cache"
+    if not os.path.isdir(CACHE):
+        pytest.skip("demo cache absent")
+    from prosim_tpu.data.dataset import ProSimImitationDataset
+
+    cfg = get_config(opts=[
+        "DATASET.FORMAT.PAD.NUM_LANES", "64",
+        "DATASET.FORMAT.MAP.MAX_POINTS", "64",
+        "DATASET.SOURCE.VAL", "['waymo_train']",
+        "PROMPT.CONDITION.TYPES", "['llm_text_OneText']",
+        "PROMPT.CONDITION.OneText.USE_PLACEHOLDER", "True",
+    ])
+    ds = ProSimImitationDataset(cfg, "val", CACHE)
+    b = ds.get_scene_batch(0)
+    tc = b.conditions["llm_text_OneText"]
+    ids = np.asarray(tc["input_ids"])[0]
+    mask_t = np.asarray(tc["token_mask"])[0]
+    text = bytes(int(t) for t, m in zip(ids, mask_t) if m and 9 < t < 127)
+    s = text.decode("utf-8", "replace")
+    assert "is there." in s
