@@ -300,6 +300,8 @@ class ConditionGenerator:
                     max_len=llm_cfg.MAX_TEXT_TOKENS,
                     use_prompt_token=llm_cfg.USE_PROMPT_TOKEN,
                     agent_token_mode=llm_cfg.AGENT_TOKEN_MODE,
+                    use_text_prompt_mask=llm_cfg.USE_TEXT_PROMPT_MASK,
+                    agent_valid=prompt_valid[None],
                 )
         return out
 

@@ -96,14 +96,23 @@ def build_one_text_condition(
     max_len: int,
     use_prompt_token: bool = True,
     agent_token_mode: str = "none",
+    use_text_prompt_mask: bool = False,
+    agent_valid: Optional[np.ndarray] = None,  # [B, N]
 ) -> Dict[str, np.ndarray]:
     """Tokenize OneText strings into the LlamaTextAttn input dict. With
     use_prompt_token (demo config), append the per-agent prompt block and
-    read positions (reference USE_PROMPT_TOKEN, text_attns.py:261-345)."""
+    read positions (reference USE_PROMPT_TOKEN, text_attns.py:261-345).
+    The block covers all valid agents unless use_text_prompt_mask restricts
+    it to the text-addressed set (text_attns.py:166-170)."""
     num_agents = prompt_masks.shape[1]
     cond = tokenize_batch(tokenizer, texts, max_len, num_agents, prompt_masks)
     if use_prompt_token:
         from prosim_tpu.models.llm.tokenizer import append_prompt_block
 
-        cond = append_prompt_block(cond, tokenizer, agent_token_mode)
+        if use_text_prompt_mask or agent_valid is None:
+            block = cond["prompt_mask"]
+        else:
+            block = np.asarray(agent_valid, bool)
+        cond = append_prompt_block(cond, tokenizer, agent_token_mode,
+                                   block_mask=block)
     return cond

@@ -77,6 +77,8 @@ class InteractiveSim:
             gen.tokenizer(), [text], pmask, llm_cfg.MAX_TEXT_TOKENS,
             use_prompt_token=llm_cfg.USE_PROMPT_TOKEN,
             agent_token_mode=llm_cfg.AGENT_TOKEN_MODE,
+            use_text_prompt_mask=llm_cfg.USE_TEXT_PROMPT_MASK,
+            agent_valid=np.asarray(self.batch.prompt.mask),
         )
         conds = dict(self.batch.conditions)
         conds["llm_text_OneText"] = {k: jnp.asarray(v) for k, v in tc.items()}

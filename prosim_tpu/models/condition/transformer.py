@@ -40,6 +40,7 @@ class ConditionTransformer(nn.Module):
     text_prompt_mask_pred: bool = True
     replace_agent_token: bool = True
     agent_token_mode: str = "none"
+    use_prompt_token: bool = True
     drag_num_points: int = 8
     drag_pre_layers: int = 1
     drag_mlp_layers: int = 3
@@ -94,6 +95,7 @@ class ConditionTransformer(nn.Module):
                     llm_config=llm_cfg,
                     replace_agent_token=self.replace_agent_token,
                     agent_token_mode=self.agent_token_mode,
+                    use_prompt_token=self.use_prompt_token,
                     prompt_mask_pred=self.text_prompt_mask_pred,
                     dtype=self.dtype,
                 )
@@ -151,6 +153,7 @@ def build_condition_transformer(config, dtype=jnp.float32) -> ConditionTransform
         text_prompt_mask_pred=ct.CONDITION_ENCODER.TEXT.LLM.PROMPT_LOSS.PROMPT_MASK_PRED,
         replace_agent_token=ct.CONDITION_ENCODER.TEXT.LLM.REPLACE_AGENT_TOKEN,
         agent_token_mode=ct.CONDITION_ENCODER.TEXT.LLM.AGENT_TOKEN_MODE,
+        use_prompt_token=ct.CONDITION_ENCODER.TEXT.LLM.USE_PROMPT_TOKEN,
         drag_num_points=config.PROMPT.CONDITION.DRAG_POINT.MAX_POINTS,
         drag_pre_layers=ct.CONDITION_ENCODER.DRAG_POINTS.NUM_PRE_LAYERS,
         drag_mlp_layers=ct.CONDITION_ENCODER.DRAG_POINTS.NUM_MLP_LAYERS,

@@ -37,6 +37,7 @@ class LlamaTextAttn(nn.Module):
     llm_config: LlamaConfig
     replace_agent_token: bool = True
     agent_token_mode: str = "none"  # 'add' sums name+agent embeddings
+    use_prompt_token: bool = True   # False zeroes the injected embeddings
     prompt_mask_pred: bool = True
     detach_prompt_token: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -75,6 +76,10 @@ class LlamaTextAttn(nn.Module):
         if self.detach_prompt_token:
             agent_in = jax.lax.stop_gradient(agent_in)
         agent_llm = self.ln_prompt(self.prompt_to_llm(agent_in))  # [B, N, H]
+        if not self.use_prompt_token:
+            # ablation: keep the block structure but zero the injected
+            # embeddings (reference: text_attns.py:197-199)
+            agent_llm = agent_llm * 0.0
 
         if self.replace_agent_token or self.agent_token_mode == "add":
             hidden = self.llm(

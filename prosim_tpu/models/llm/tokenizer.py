@@ -189,6 +189,7 @@ def append_prompt_block(
     cond: Dict[str, np.ndarray],
     tokenizer,
     mode: str = "none",
+    block_mask: "np.ndarray" = None,
 ) -> Dict[str, np.ndarray]:
     """Append the USE_PROMPT_TOKEN block after the text tokens
     (reference: text_attns.py:261-345): one group per agent slot whose layout
@@ -199,13 +200,18 @@ def append_prompt_block(
     Positions carrying the agent embedding get agent_slot_ids = agent index
     (the device side substitutes or adds the projected policy embedding
     there); `read_positions` [B, N] marks where to read each agent's output
-    hidden state (-1 for agents the text does not address).
+    hidden state (-1 for agents outside the block).
+
+    `block_mask` [B, N] selects which agents get a block slot; default is the
+    condition's prompt_mask (USE_TEXT_PROMPT_MASK=True semantics) -- the
+    reference default covers ALL valid prompt agents instead
+    (text_attns.py:166-170), pass the agent-validity mask for that.
     """
     if mode not in _BLOCK_WIDTH:
         raise ValueError(f"unknown agent_token_mode '{mode}'")
     w = _BLOCK_WIDTH[mode]
     ids, mask, slots = cond["input_ids"], cond["token_mask"], cond["agent_slot_ids"]
-    pmask = cond["prompt_mask"]
+    pmask = cond["prompt_mask"] if block_mask is None else np.asarray(block_mask)
     B, L = ids.shape
     N = pmask.shape[1]
 

@@ -337,3 +337,31 @@ def test_weights_path_loads_into_model(tmp_path):
     out = model.forward(params, batch, "val", jax.random.PRNGKey(1))
     mask = np.asarray(batch.prompt.mask)
     assert np.isfinite(np.asarray(out["rollout_traj"])[mask]).all()
+
+
+def test_block_covers_all_valid_agents_by_default():
+    """USE_TEXT_PROMPT_MASK=False (reference default): the prompt block holds
+    every valid agent, not just the text-addressed set
+    (reference: text_attns.py:166-170)."""
+    from prosim_tpu.data.text_conditions import build_one_text_condition
+
+    tok = ByteTokenizer()
+    N = 5
+    pm = np.zeros((1, N), bool)
+    pm[0, 1] = True  # text addresses only agent 1
+    valid = np.ones((1, N), bool)
+    valid[0, 4] = False
+
+    cond = build_one_text_condition(
+        tok, ["go <A1>"], pm, 24, use_text_prompt_mask=False, agent_valid=valid
+    )
+    rp = cond["read_positions"][0]
+    assert (rp[:4] >= 0).all() and rp[4] == -1
+    # BCE target stays the addressed set
+    np.testing.assert_array_equal(cond["prompt_mask"], pm)
+
+    cond2 = build_one_text_condition(
+        tok, ["go <A1>"], pm, 24, use_text_prompt_mask=True, agent_valid=valid
+    )
+    rp2 = cond2["read_positions"][0]
+    assert rp2[1] >= 0 and (rp2[[0, 2, 3, 4]] == -1).all()
