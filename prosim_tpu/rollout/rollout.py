@@ -109,6 +109,47 @@ def crash_and_goal_metrics(world_xyh, extents, agent_mask, goals_world,
     )
     return {"crash_rate": crash_rate, "goal_reach_rate": goal_rate}
 
+def replica_rollout_metrics(output: Dict, batch: SceneBatch, m: int) -> Dict:
+    """Validation-time sim metrics over an M-replica rollout (the metric set
+    the reference's rollout callback logs, rollout/callbacks.py:229-307 +
+    rollout/metrics.py): per-scene min/mean ADE of the M joint futures vs the
+    logged future, plus crash / goal-reach rates in the scene frame.
+
+    `output` = rollout_scan output on the tiled batch (leading axis B*m);
+    `batch` = the UN-tiled batch (leading axis B). Pure/jittable.
+    """
+    traj = output["rollout_traj"]                       # [B*m, N, T, 4]
+    BM, N, T, _ = traj.shape
+    B = BM // m
+    mask = batch.prompt.mask                            # [B, N]
+
+    # --- replica ADE vs GT (both live in each agent's init frame)
+    gt_xy = batch.io_pairs.full_traj_xy[:, :, :T]       # [B, N, T, 2]
+    gt_valid = batch.io_pairs.full_traj_valid[:, :, :T] & mask[..., None]
+    pred = traj[..., :2].reshape(B, m, N, T, 2)
+    err = jnp.linalg.norm(pred - gt_xy[:, None].astype(pred.dtype), axis=-1)
+    w = gt_valid[:, None].astype(pred.dtype)            # [B, 1, N, T]
+    ade_r = (err * w).sum((2, 3)) / jnp.clip(w.sum((2, 3)), 1, None)  # [B, m]
+    scene_has = gt_valid.any((1, 2))                    # [B]
+    denom = jnp.clip(scene_has.sum(), 1, None)
+    min_ade = jnp.where(scene_has, ade_r.min(1), 0.0).sum() / denom
+    mean_ade = jnp.where(scene_has, ade_r.mean(1), 0.0).sum() / denom
+
+    # --- crash / goal-reach in the scene frame (rigid transform of world)
+    init_pos = output["init_pos"]                       # [B*m, N, 2]
+    init_h = output["init_heading"]                     # [B*m, N]
+    xy_scene = rotate_2d(traj[..., :2], init_h[..., None]) + init_pos[..., None, :]
+    h_scene = wrap_angle(jnp.arctan2(traj[..., 2], traj[..., 3]) + init_h[..., None])
+    xyh = jnp.concatenate([xy_scene, h_scene[..., None]], axis=-1)
+
+    tile = lambda x: jnp.repeat(x, m, axis=0)
+    goals_scene = batch.prompt.goal_point  # already scene-frame (batch.py:65)
+    sim = crash_and_goal_metrics(
+        xyh, tile(batch.prompt.extent), output["agent_mask"], tile(goals_scene)
+    )
+    return {"min_ade": min_ade, "mean_ade": mean_ade, **sim}
+
+
 def sample_goal_conditions(goal_point, goal_prob, prompt_mask, m, rng,
                            top_k: int = 8, stop_smooth: float = 5.0,
                            horizon: float = 80.0) -> Condition:

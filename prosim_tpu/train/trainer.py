@@ -96,6 +96,10 @@ class Trainer:
                     break
             if val_batches is not None and (epoch + 1) % self.config.VAL_INTERVAL == 0:
                 self.evaluate(val_batches)
+                rc = self.config.ROLLOUT
+                if (rc.ENABLE and (epoch + 1) > rc.WARMUP_EPOCH
+                        and (epoch + 1) % rc.INTERVAL_EPOCH == 0):
+                    self.rollout_callback(val_batches)
             if max_steps and self.step >= max_steps:
                 break
         if self.config.SAVE_CHECKPOINT:
@@ -107,16 +111,87 @@ class Trainer:
         rng = jax.random.PRNGKey(0)
         states = []
         losses_acc = []
+        vis_pair = None
         for batch in val_batches() if callable(val_batches) else val_batches:
             batch = shard_batch(batch, self.mesh)
             rng, sub = jax.random.split(rng)
-            losses, metric_state, _ = self._eval_step(self.params, batch, sub)
+            losses, metric_state, output = self._eval_step(self.params, batch, sub)
             states.append(jax.tree.map(np.asarray, metric_state))
             losses_acc.append(float(losses["full_loss"]))
+            if vis_pair is None and self.config.ENABLE_VIS:
+                vis_pair = (batch, output)
         metrics = compute_metrics(merge_metric_states(states)) if states else {}
         metrics["full_loss"] = float(np.mean(losses_acc)) if losses_acc else float("nan")
         self.log({"step": self.step, **{f"val/{k}": v for k, v in metrics.items()}})
+        if vis_pair is not None:
+            self.visualization_callback(*vis_pair)
         return metrics
+
+    # -------------------------------------------------------------- callbacks
+    def visualization_callback(self, batch, output, tag: str = "val",
+                               make_gif: bool = False):
+        """Render the first scene's closed-loop rollout (map + GT + predicted
+        trajectories) and log the image path, plus optionally a GIF
+        (reference: models/utils/visualization.py:303-329 visualization
+        callback logging wandb images/videos during validation)."""
+        from prosim_tpu.viz.plots import save_rollout_gif, save_scene_png
+
+        vis_dir = os.path.join(self.run_dir, "vis")
+        os.makedirs(vis_dir, exist_ok=True)
+        record = {"step": self.step}
+        png = save_scene_png(
+            batch, os.path.join(vis_dir, f"step{self.step}_{tag}.png"),
+            output=output,
+        )
+        record[f"vis/{tag}_rollout"] = png
+        if make_gif:
+            record[f"vis/{tag}_rollout_gif"] = save_rollout_gif(
+                batch, output, os.path.join(vis_dir, f"step{self.step}_{tag}.gif")
+            )
+        self.log(record)
+        return record
+
+    def rollout_callback(self, val_batches, m: Optional[int] = None,
+                         max_batches: int = 1) -> Dict[str, float]:
+        """Batched M-replica closed-loop rollout during validation with sim
+        metrics (min/mean replica ADE vs the logged future, crash and
+        goal-reach rates), the TPU-native counterpart of the reference's
+        rollout_callback_gpu (rollout/callbacks.py:229-307): the M stochastic
+        futures are a batch-axis tile inside one compiled rollout instead of
+        a per-scene GPU loop."""
+        from prosim_tpu.rollout.rollout import (
+            parallel_rollout,
+            replica_rollout_metrics,
+        )
+
+        m = m or self.config.ROLLOUT.SAMPLE_NUM
+        if self._rollout_fn is None or self._rollout_m != m:
+            def _roll(params, batch, key):
+                out = parallel_rollout(self.model, params, batch, m, key)
+                return replica_rollout_metrics(out, batch, m)
+
+            self._rollout_fn = jax.jit(_roll)
+            self._rollout_m = m
+
+        rng = jax.random.PRNGKey(self.config.SEED + 2)
+        acc = []
+        for i, batch in enumerate(
+            val_batches() if callable(val_batches) else val_batches
+        ):
+            if i >= max_batches:
+                break
+            rng, sub = jax.random.split(rng)
+            metrics = self._rollout_fn(self.params, batch, sub)
+            acc.append({k: float(v) for k, v in metrics.items()})
+        out = {
+            k: float(np.mean([a[k] for a in acc])) for k in acc[0]
+        } if acc else {}
+        self.log({"step": self.step,
+                  **{f"rollout/{k}": v for k, v in out.items()}})
+        return out
+
+    _rollout_fn = None
+    _rollout_m = None
 
     def evaluate_cond_sets(self, cache_dir, split="val", batch_size=None):
         """One eval pass per PROMPT.CONDITION.EVAL_COND_SETS entry, each with

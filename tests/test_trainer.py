@@ -115,6 +115,28 @@ def test_checkpoint_roundtrip_nonstrict(trained):
     np.testing.assert_allclose(emb_a, emb_b + 1.0, atol=1e-5)  # kept current
 
 
+def test_rollout_callback_metrics(trained):
+    """Validation-time M-replica rollout callback logs finite sim metrics
+    (reference: rollout/callbacks.py:229-307)."""
+    cfg, trainer, batch = trained
+    out = trainer.rollout_callback([batch], m=3)
+    for k in ("min_ade", "mean_ade", "crash_rate", "goal_reach_rate"):
+        assert np.isfinite(out[k]), k
+    assert out["min_ade"] <= out["mean_ade"] + 1e-6
+    assert 0.0 <= out["crash_rate"] <= 1.0
+    assert 0.0 <= out["goal_reach_rate"] <= 1.0
+
+
+def test_visualization_callback_writes_png(trained):
+    import os
+
+    cfg, trainer, batch = trained
+    rng = jax.random.PRNGKey(3)
+    _, _, output = trainer._eval_step(trainer.params, batch, rng)
+    rec = trainer.visualization_callback(batch, output, tag="test")
+    assert os.path.getsize(rec["vis/test_rollout"]) > 1000
+
+
 def test_error_batch_dumper(trained, tmp_path):
     """Non-finite loss serializes the batch (reference: loss_func.py:203-213)."""
     import os
