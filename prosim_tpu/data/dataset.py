@@ -89,13 +89,59 @@ class ProSimImitationDataset:
         return jax.tree.map(jnp.asarray, batch)
 
     def batches(self, batch_size: int, shuffle: bool = False,
-                seed: int = 0, drop_last: bool = True) -> Iterator[SceneBatch]:
+                seed: int = 0, drop_last: bool = True,
+                num_workers: int = 0, prefetch: int = 2) -> Iterator[SceneBatch]:
+        """Stream collated device batches.
+
+        With num_workers > 0, scene formatting runs in a thread pool and up to
+        `prefetch` assembled batches are staged ahead of the consumer - the
+        equivalent of the reference DataLoader's worker processes + prefetch
+        (reference: prosim/trainer.py:182-196 NUM_WORKERS wiring); the hot
+        formatting loops release the GIL (numpy / the native C++ lane engine),
+        so threads overlap cleanly with the device step.
+        """
         order = np.arange(len(self.index))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
-        for i in range(0, len(order) - (batch_size - 1 if drop_last else 0), batch_size):
-            idxs = order[i : i + batch_size]
-            yield collate([self.get_scene_batch(int(j)) for j in idxs])
+        starts = range(
+            0, len(order) - (batch_size - 1 if drop_last else 0), batch_size
+        )
+        if num_workers <= 0:
+            for i in starts:
+                idxs = order[i : i + batch_size]
+                yield collate([self.get_scene_batch(int(j)) for j in idxs])
+            return
+
+        import queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+        sentinel = object()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(num_workers) as ex:
+                    for i in starts:
+                        idxs = order[i : i + batch_size]
+                        scenes = list(
+                            ex.map(lambda j: self.get_scene_batch(int(j)), idxs)
+                        )
+                        q.put(collate(scenes))
+                q.put(sentinel)
+            except BaseException as e:  # propagate into the consumer
+                q.put(e)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
 
 
 @registry.register_dataset(name="prosim")

@@ -47,13 +47,21 @@ def run_exp(run_type: str, exp_config, opts, cache_dir=None):
         return
 
     if run_type == "train":
+        from prosim_tpu.parallel.mesh import initialize_multihost
+
+        initialize_multihost()  # no-op unless a DCN coordinator is configured
         train_ds = ProSimImitationDataset(config, "train", cache_dir)
         val_ds = ProSimImitationDataset(config, "val", cache_dir)
         trainer = Trainer(config)
         trainer.setup(next(iter(train_ds.batches(config.TRAIN.BATCH_SIZE))))
         trainer.fit(
-            lambda: train_ds.batches(config.TRAIN.BATCH_SIZE, shuffle=True),
-            lambda: val_ds.batches(config.VAL.BATCH_SIZE),
+            lambda: train_ds.batches(
+                config.TRAIN.BATCH_SIZE, shuffle=True,
+                num_workers=config.TRAIN.NUM_WORKERS,
+            ),
+            lambda: val_ds.batches(
+                config.VAL.BATCH_SIZE, num_workers=config.VAL.NUM_WORKERS
+            ),
         )
         return
 

@@ -156,6 +156,29 @@ def test_native_lane_vectorization_parity(scene0):
     np.testing.assert_array_equal(out_native, out_py)
 
 
+def test_prefetch_batches_match_sync():
+    """The threaded prefetching loader yields the same batches as the sync
+    path (reference DataLoader NUM_WORKERS semantics, trainer.py:182-196)."""
+    import jax
+    import numpy as np
+
+    from prosim_tpu.config import get_config
+    from prosim_tpu.data.dataset import ProSimImitationDataset
+
+    cfg = get_config(opts=SMALL)
+    ds = ProSimImitationDataset(cfg, "val", CACHE)
+    sync = list(ds.batches(1, num_workers=0))
+    pre = list(ds.batches(1, num_workers=2, prefetch=2))
+    assert len(sync) == len(pre) >= 1
+    for a, b in zip(sync, pre):
+        np.testing.assert_array_equal(
+            np.asarray(a.prompt.pos), np.asarray(b.prompt.pos)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.init_map.vectors), np.asarray(b.init_map.vectors)
+        )
+
+
 def test_tfrecord_roundtrip_and_tf_interop(tmp_path):
     """Pure-python TFRecord IO (reference TFRecord use: waymo_utils.py:38-57),
     cross-checked against tensorflow's writer/reader when available."""

@@ -42,6 +42,27 @@ def test_shard_batch_replicates_t_indices():
     assert sharded.io_pairs.t_indices.sharding.is_fully_replicated
 
 
+def test_process_local_scene_indices_partition():
+    """Strided host shards cover every scene exactly once (the lock-free farm
+    contract, reference: rollout/distributed_utils.py:151-158)."""
+    from prosim_tpu.parallel.mesh import process_local_scene_indices
+
+    shards = [
+        process_local_scene_indices(11, process_index=i, process_count=3)
+        for i in range(3)
+    ]
+    flat = sorted(x for s in shards for x in s)
+    assert flat == list(range(11))
+    # single process = everything; defaults read the live (single) process
+    assert process_local_scene_indices(5) == list(range(5))
+
+
+def test_initialize_multihost_noop_single_process():
+    from prosim_tpu.parallel.mesh import initialize_multihost
+
+    assert initialize_multihost() == 1  # no coordinator configured -> no-op
+
+
 def test_sharded_forward_matches_single_device():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
