@@ -105,6 +105,21 @@ class SceneData:
     map: Optional[SceneMap] = None
 
 
+def _read_feather(path: str):
+    """Read a Feather V2 (Arrow IPC file) dataframe. pyarrow deprecated
+    feather.read_feather in 24.0; prefer the IPC reader, fall back for
+    Feather V1 files."""
+    import pyarrow.ipc  # deferred: heavy import
+
+    try:
+        with pyarrow.ipc.open_file(path) as r:
+            return r.read_pandas()
+    except Exception:
+        import pyarrow.feather
+
+        return pyarrow.feather.read_feather(path)
+
+
 def _dt_tag(dt: float) -> str:
     return f"dt{dt:.2f}"
 
@@ -128,9 +143,7 @@ def load_scene(cache_dir: str, env_name: str, scene_name: str, dt: float = 0.1,
             AgentMeta(str(a.name), int(t), int(a.first_timestep), int(a.last_timestep))
         )
 
-    import pyarrow.feather  # deferred: heavy import
-
-    df = pyarrow.feather.read_feather(
+    df = _read_feather(
         os.path.join(scene_dir, f"agent_data_{_dt_tag(dt)}.feather")
     )
 
@@ -225,9 +238,7 @@ def load_map(cache_dir: str, env_name: str, location: str, scene_dir: str = None
     if scene_dir is not None:
         tls_path = os.path.join(scene_dir, f"tls_data_{_dt_tag(dt)}.feather")
         if os.path.exists(tls_path):
-            import pyarrow.feather
-
-            tdf = pyarrow.feather.read_feather(tls_path)
+            tdf = _read_feather(tls_path)
             max_ts = int(tdf["scene_ts"].max()) + 1 if len(tdf) else 0
             for lane_id, g in tdf.groupby("lane_id"):
                 arr = np.zeros(max_ts, np.float32)

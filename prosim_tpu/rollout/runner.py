@@ -38,6 +38,8 @@ def run_rollout_eval(
     model: Optional[ProSim] = None,
     max_scenes: Optional[int] = None,
     compute_metrics: bool = True,
+    skip_existing: bool = False,
+    max_failures: Optional[int] = None,
 ):
     """Roll out M joint futures for every assigned scene and save world-frame
     trajectories (npz per scene; see wosac.package_submission)."""
@@ -63,69 +65,34 @@ def run_rollout_eval(
     if max_scenes:
         assigned = assigned[:max_scenes]
     all_metrics = []
+    failures = 0
 
     for count, idx in enumerate(assigned):
         t0 = time.time()
         env, scene_name, ts = ds.index[idx]
-        scene = ds._load(env, scene_name)
-        batch = ds.get_scene_batch(idx)
-
-        rng, sub = jax.random.split(rng)
-        out = roll(params, batch, sub)
-
-        ego = scene.states[scene.ego_index, ts]
-        center_xy = np.asarray(ego[:2], np.float32)[None]
-        center_h = np.asarray([ego[7]], np.float32)
-        world = rollout_to_world(
-            out,
-            batch,
-            np.repeat(center_xy, m, axis=0),
-            np.repeat(center_h, m, axis=0),
-        )  # [M, N, T, 3]
-
-        mask = np.asarray(batch.prompt.mask)[0]
-        world_np = np.asarray(world)[:, mask]
-
-        # agent z from the frame at scene_ts (planar policy)
-        meta = {}
-        from prosim_tpu.data.formatter import format_scene  # names
-
-        format_scene(scene, config, ts, "rollout", out_meta=meta)
-        names = meta["target_names"][: mask.sum()]
-        name_to_row = {n: i for i, n in enumerate(scene.agent_names)}
-        z = [float(np.nan_to_num(scene.states[name_to_row[n], ts, 2])) for n in names]
-        oid = [int(n) if n.isdigit() else -1 for n in names]
-
-        sr = ScenarioRollouts(
-            scenario_id=f"{env}/{scene_name}",
-            joint_scenes=joint_scenes_from_rollout(world_np, oid, z),
-        )
-        validate_scenario_rollouts(
-            sr, num_rollouts=m, steps=world_np.shape[2]
-        )
-        save_rollouts_npz(sr, os.path.join(out_dir, f"{env}__{scene_name}.npz"))
-
-        if compute_metrics:
-            # native realism metrics vs the logged future (reference farm
-            # computes official WOSAC metrics per scene, distributed_utils.py:205-223)
-            rows = [name_to_row[n] for n in names]
-            fut = scene.states[rows, ts + 1 : ts + 1 + world_np.shape[2]]
-            log_xyh = np.stack(
-                [np.nan_to_num(fut[..., 0]), np.nan_to_num(fut[..., 1]),
-                 np.nan_to_num(fut[..., 7])], axis=-1,
+        out_npz = os.path.join(out_dir, f"{env}__{scene_name}.npz")
+        if skip_existing and os.path.exists(out_npz):
+            # resume: outputs are idempotent, a finished scene needs no rework
+            # (the reference resumes via its touch-file locks,
+            # distributed_utils.py:151-158)
+            continue
+        try:
+            _rollout_one_scene(
+                ds, idx, env, scene_name, ts, roll, params, m,
+                jax.random.fold_in(rng, idx), out_dir, compute_metrics,
+                all_metrics, config,
             )
-            extents = np.nan_to_num(scene.extents[rows])
-            valid = scene.valid[rows, ts + 1 : ts + 1 + world_np.shape[2]]
-            metrics = scenario_metrics(world_np, log_xyh, extents, valid=valid)
-            import json
-
-            with open(os.path.join(out_dir, f"{env}__{scene_name}.metrics.json"), "w") as f:
-                json.dump(metrics, f, indent=2)
-            all_metrics.append(metrics)
-
+        except Exception as e:  # per-scene skip-and-continue
+            # (reference: distributed_utils.py:175-226 try/except per scene)
+            failures += 1
+            print(f"[worker {worker_id}] scene {scene_name} FAILED: "
+                  f"{type(e).__name__}: {e}", flush=True)
+            if max_failures is not None and failures > max_failures:
+                raise
+            continue
         print(
-            f"[worker {worker_id}] scene {scene_name}: {mask.sum()} agents, "
-            f"M={m}, {time.time()-t0:.2f}s ({count+1}/{len(assigned)})",
+            f"[worker {worker_id}] scene {scene_name}: done in "
+            f"{time.time()-t0:.2f}s ({count+1}/{len(assigned)})",
             flush=True,
         )
 
@@ -137,4 +104,64 @@ def run_rollout_eval(
             json.dump(agg, f, indent=2)
         print("aggregate realism:", {k: round(v, 3) for k, v in agg.items()
                                      if "/" not in k}, flush=True)
+    if failures:
+        print(f"[worker {worker_id}] {failures} scene(s) failed and were "
+              "skipped", flush=True)
     return out_dir
+
+
+def _rollout_one_scene(ds, idx, env, scene_name, ts, roll, params, m, sub,
+                   out_dir, compute_metrics, all_metrics, config):
+    scene = ds._load(env, scene_name)
+    batch = ds.get_scene_batch(idx)
+    out = roll(params, batch, sub)
+
+    ego = scene.states[scene.ego_index, ts]
+    center_xy = np.asarray(ego[:2], np.float32)[None]
+    center_h = np.asarray([ego[7]], np.float32)
+    world = rollout_to_world(
+        out,
+        batch,
+        np.repeat(center_xy, m, axis=0),
+        np.repeat(center_h, m, axis=0),
+    )  # [M, N, T, 3]
+
+    mask = np.asarray(batch.prompt.mask)[0]
+    world_np = np.asarray(world)[:, mask]
+
+    # agent z from the frame at scene_ts (planar policy)
+    meta = {}
+    from prosim_tpu.data.formatter import format_scene  # names
+
+    format_scene(scene, config, ts, "rollout", out_meta=meta)
+    names = meta["target_names"][: mask.sum()]
+    name_to_row = {n: i for i, n in enumerate(scene.agent_names)}
+    z = [float(np.nan_to_num(scene.states[name_to_row[n], ts, 2])) for n in names]
+    oid = [int(n) if n.isdigit() else -1 for n in names]
+
+    sr = ScenarioRollouts(
+        scenario_id=f"{env}/{scene_name}",
+        joint_scenes=joint_scenes_from_rollout(world_np, oid, z),
+    )
+    validate_scenario_rollouts(
+        sr, num_rollouts=m, steps=world_np.shape[2]
+    )
+    save_rollouts_npz(sr, os.path.join(out_dir, f"{env}__{scene_name}.npz"))
+
+    if compute_metrics:
+        # native realism metrics vs the logged future (reference farm
+        # computes official WOSAC metrics per scene, distributed_utils.py:205-223)
+        rows = [name_to_row[n] for n in names]
+        fut = scene.states[rows, ts + 1 : ts + 1 + world_np.shape[2]]
+        log_xyh = np.stack(
+            [np.nan_to_num(fut[..., 0]), np.nan_to_num(fut[..., 1]),
+             np.nan_to_num(fut[..., 7])], axis=-1,
+        )
+        extents = np.nan_to_num(scene.extents[rows])
+        valid = scene.valid[rows, ts + 1 : ts + 1 + world_np.shape[2]]
+        metrics = scenario_metrics(world_np, log_xyh, extents, valid=valid)
+        import json
+
+        with open(os.path.join(out_dir, f"{env}__{scene_name}.metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        all_metrics.append(metrics)

@@ -162,6 +162,52 @@ def test_interactive_sim_api():
     assert os.path.getsize(g) > 1000
 
 
+def test_rollout_farm_runner(tmp_path, monkeypatch):
+    """Farm runner: per-scene outputs + metrics, skip_existing resume, and
+    per-scene failure tolerance (reference: distributed_utils.py:151-226)."""
+    import os
+
+    CACHE = "/root/reference/demo_dataset/trajdata_cache"
+    if not os.path.isdir(CACHE):
+        pytest.skip("demo cache absent")
+    from prosim_tpu.rollout import runner
+
+    cfg = get_config(opts=SMALL_OPTS + [
+        "DATASET.FORMAT.PAD.NUM_LANES", "64",
+        "DATASET.FORMAT.MAP.MAX_POINTS", "64",
+        "DATASET.FORMAT.PAD.NUM_AGENTS", "16",
+        "DATASET.FORMAT.PAD.NUM_OBS_AGENTS", "24",
+        "DATASET.AGENT.SCENE_MAX_AGENT", "16",
+        "DATASET.SOURCE.ROLLOUT", "['waymo_train']",
+        "PROMPT.CONDITION.TYPES", "[]",
+    ])
+    out_dir = str(tmp_path / "rollouts")
+    runner.run_rollout_eval(cfg, CACHE, out_dir=out_dir, m=2, max_scenes=1)
+    npz = [f for f in os.listdir(out_dir) if f.endswith(".npz")]
+    assert len(npz) == 1
+    assert os.path.exists(os.path.join(out_dir, "wosac_metrics.json"))
+
+    # resume: with skip_existing, the finished scene is not recomputed
+    calls = []
+    orig = runner._rollout_one_scene
+    monkeypatch.setattr(runner, "_rollout_one_scene",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    runner.run_rollout_eval(cfg, CACHE, out_dir=out_dir, m=2, max_scenes=1,
+                            skip_existing=True)
+    assert calls == []
+
+    # failure tolerance: a scene that raises is skipped, the run completes
+    def boom(*a, **k):
+        raise RuntimeError("injected")
+
+    monkeypatch.setattr(runner, "_rollout_one_scene", boom)
+    runner.run_rollout_eval(cfg, CACHE, out_dir=str(tmp_path / "r2"), m=2,
+                            max_scenes=2)
+    with pytest.raises(RuntimeError):
+        runner.run_rollout_eval(cfg, CACHE, out_dir=str(tmp_path / "r3"),
+                                m=2, max_scenes=2, max_failures=0)
+
+
 def test_goal_sampler_parallel_rollout():
     """Sampler-proposed per-replica goal conditions
     (reference: gpu_utils.py:125-177,199-216)."""
