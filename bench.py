@@ -128,23 +128,32 @@ def main():
         opt_state = optimizer.init(params)
         step = jax.jit(make_train_step(model, optimizer, config))
         params, opt_state, losses = step(params, opt_state, batch, key)
-        jax.block_until_ready(losses["full_loss"])
+        float(losses["full_loss"])  # compile + warmup + drain
         t0 = time.perf_counter()
         for i in range(args.iters):
             params, opt_state, losses = step(
                 params, opt_state, batch, jax.random.fold_in(key, i)
             )
-        jax.block_until_ready(losses["full_loss"])
+        # params chain step-to-step; fetching the last loss drains the queue
+        float(losses["full_loss"])
         dt = time.perf_counter() - t0
         metric = "train_scenes_per_sec_per_chip"
     else:
-        fwd = jax.jit(lambda p, b, k: model.forward(p, b, "rollout", k)["rollout_traj"])
-        out = fwd(params, batch, key)
-        jax.block_until_ready(out)  # compile + warmup
+        # NOTE: measurements must end in a host fetch of a value derived from
+        # the LAST iteration's output. Through the remote-TPU tunnel,
+        # jax.block_until_ready returns before the device queue drains, so a
+        # block-based timing over-reports throughput by orders of magnitude
+        # (verified: dispatch-only loops "finish" in ms while the device needs
+        # seconds per batch). Device execution is FIFO, so fetching a scalar
+        # from the final output bounds the full pipeline.
+        fwd = jax.jit(
+            lambda p, b, k: model.forward(p, b, "rollout", k)["rollout_traj"].sum()
+        )
+        float(fwd(params, batch, key))  # compile + warmup + drain
         t0 = time.perf_counter()
         for i in range(args.iters):
             out = fwd(params, batch, jax.random.fold_in(key, i))
-        jax.block_until_ready(out)
+        float(out)  # forced fetch: waits for every queued iteration
         dt = time.perf_counter() - t0
         metric = "closed_loop_scene_rollouts_per_sec_per_chip"
 

@@ -17,6 +17,7 @@ Exact semantics preserved:
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from prosim_tpu.ops.fourier import FourierEmbeddingFix, FourierEmbedding
@@ -71,6 +72,29 @@ class RelPE(nn.Module):
         )(pe_input).astype(self.dtype)
 
 
+class _AffineParams(nn.Module):
+    """scale/bias parameter pair with the same tree layout as nn.LayerNorm,
+    for layers that fold the affine part of a LayerNorm into other tensors."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
+def _norm_stats(x, eps: float = 1e-6):
+    """Parameter-free part of LayerNorm (flax semantics: last-dim stats,
+    fast variance), computed in f32. Shared/CSE'd when several layers
+    normalize the same tensor."""
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = jnp.maximum((x32 * x32).mean(-1, keepdims=True) - mu * mu, 0.0)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
 class GatedNeighborAttention(nn.Module):
     hidden_dim: int
     num_heads: int
@@ -91,6 +115,13 @@ class GatedNeighborAttention(nn.Module):
     ):
         """x_dst [B,Q,D], x_src [B,S,D], idx [B,Q,K], edge_valid [B,Q,K],
         rel_pe [B,Q,K,D] -> [B,Q,D]."""
+        # The k/v gathers below depend only on (x_src, idx), so in a stack of
+        # layers XLA's scheduler hoists every layer's gathers ahead of the
+        # sequential chain and keeps num_layers * 2 * [B,Q,K,inner] buffers
+        # live at once - measured 24.8 G of 15.7 G HBM at production shapes
+        # on v5e. Tying idx to this layer's own query input serializes each
+        # layer's gathers behind the previous layer. No-op math-wise.
+        idx, x_dst = jax.lax.optimization_barrier((idx, x_dst))
         H, hd = self.num_heads, self.head_dim
         inner = H * hd
         scale = hd ** -0.5
@@ -102,23 +133,54 @@ class GatedNeighborAttention(nn.Module):
             ln_dst = ln_src
         x_src_n = ln_src(x_src)
         x_dst_n = ln_dst(x_dst)
-        r_n = nn.LayerNorm(dtype=self.dtype, name="prenorm_r")(rel_pe)
 
         q = nn.Dense(inner, dtype=self.dtype, name="to_q")(x_dst_n)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x_src_n)
         v = nn.Dense(inner, dtype=self.dtype, name="to_v")(x_src_n)
 
-        k_g = gather_neighbors(k, idx) + nn.Dense(
-            inner, use_bias=False, dtype=self.dtype, name="to_k_r"
-        )(r_n)
-        v_g = gather_neighbors(v, idx) + nn.Dense(inner, dtype=self.dtype, name="to_v_r")(r_n)
+        # --- rel-PE handling. The reference projects the (LayerNormed) PE on
+        # every edge (attention_layer.py:89-91: k + W_kr LN(r), v + W_vr LN(r)),
+        # which at K = 512-768 neighbors costs a [D, inner] matmul on millions
+        # of edges and materializes [B, Q, K, inner] tensors per layer - the
+        # dominant cost (and, at batch 64, the HBM-capacity limit) of the whole
+        # model. All of it folds out exactly:
+        #   LN:     LN_l(r) = g_l * z + b_l with z the parameter-free
+        #           normalization - z is identical across layers (CSE'd),
+        #           g_l/b_l fold into the small per-query tensors;
+        #   score:  q . (W_kr LN(r)) = ((W_kr^T q) * g) . z + (W_kr^T q) . b
+        #   value:  sum_k a_k (W_vr LN(r_k) + c) =
+        #           W_vr (g * sum_k a_k z_k) + (W_vr b + c) * sum_k a_k
+        # Parameter trees stay identical: prenorm_r keeps LayerNorm's
+        # scale/bias names, and W/c come from the unchanged Dense modules via
+        # the identity probe.
+        D_pe = rel_pe.shape[-1]
+        z = _norm_stats(rel_pe)
+        g_r, b_r = _AffineParams(D_pe, name="prenorm_r")()
+        g_r = g_r.astype(self.dtype)
+        b_r = b_r.astype(self.dtype)
+        eye = jnp.eye(D_pe, dtype=self.dtype)
+        w_kr = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_r")(eye)
+        to_v_r = nn.Dense(inner, dtype=self.dtype, name="to_v_r")
+        c_vr = to_v_r(jnp.zeros((D_pe,), self.dtype))      # [inner]
+        w_vr = to_v_r(eye) - c_vr[None, :]                 # [D_pe, inner]
 
         B, Q, K = idx.shape
         qh = q.reshape(B, Q, H, hd)
-        kh = k_g.reshape(B, Q, K, H, hd)
-        vh = v_g.reshape(B, Q, K, H, hd)
 
-        sim = jnp.einsum("bqhd,bqkhd->bqkh", qh, kh) * scale
+        q_pe = jnp.einsum("bqhe,dhe->bqhd", qh, w_kr.reshape(D_pe, H, hd))
+        # Base q.k scores on gathered keys. (A "dense" variant - score every
+        # source token then take_along_axis, scatter attention weights back
+        # for a dense value matmul - was measured on a real v5e chip and the
+        # scatter lowers catastrophically: 347 ms vs 80 ms per 6-layer stack
+        # at the s2p site, plus 45 s extra compile. Gather-based indexing is
+        # the fast path on TPU.)
+        kh = gather_neighbors(k, idx).reshape(B, Q, K, H, hd)
+        sim_base = jnp.einsum("bqhd,bqkhd->bqkh", qh, kh)
+        sim_pe = (
+            jnp.einsum("bqhd,bqkd->bqkh", q_pe * g_r[None, None, None], z)
+            + jnp.einsum("bqhd,d->bqh", q_pe, b_r)[:, :, None]
+        )
+        sim = (sim_base + sim_pe) * scale
         sim = jnp.where(edge_valid[..., None], sim, -jnp.inf)
         sim_max = jnp.max(sim, axis=2, keepdims=True)
         sim_max = jnp.where(jnp.isfinite(sim_max), sim_max, 0.0)
@@ -130,7 +192,17 @@ class GatedNeighborAttention(nn.Module):
                 attn, deterministic=deterministic
             )
 
-        agg = jnp.einsum("bqkh,bqkhd->bqhd", attn, vh).reshape(B, Q, inner)
+        vh = gather_neighbors(v, idx).reshape(B, Q, K, H, hd)
+        agg_v = jnp.einsum("bqkh,bqkhd->bqhd", attn, vh)
+        agg_z = jnp.einsum("bqkh,bqkd->bqhd", attn, z)
+        agg_pe = jnp.einsum(
+            "bqhd,dhe->bqhe", agg_z * g_r[None, None, None], w_vr.reshape(D_pe, H, hd)
+        )
+        attn_sum = attn.sum(axis=2)  # 1 with >=1 valid neighbor, else 0
+        const_pe = (b_r @ w_vr + c_vr).reshape(H, hd)
+        agg = (
+            agg_v + agg_pe + const_pe[None, None] * attn_sum[..., None]
+        ).reshape(B, Q, inner)
 
         g = nn.sigmoid(
             nn.Dense(inner, dtype=self.dtype, name="to_g")(

@@ -152,9 +152,9 @@ def _np_edge_attention(p, x_dst, x_src, edges, pe, H, hd, bipartite):
     return x + layernorm("ff_postnorm", ff)
 
 
-def test_gated_attention_matches_edge_list_reference():
+def _check_gated_attention_parity(S: int):
     rng = np.random.default_rng(7)
-    B, Q, S, K, D, H, hd = 1, 6, 8, 3, 16, 4, 4
+    B, Q, K, D, H, hd = 1, 6, 3, 16, 4, 4
     x_dst = rng.normal(size=(B, Q, D)).astype(np.float32)
     x_src = rng.normal(size=(B, S, D)).astype(np.float32)
     idx = rng.integers(0, S, size=(B, Q, K)).astype(np.int32)
@@ -201,6 +201,16 @@ def test_gated_attention_matches_edge_list_reference():
     )
     dst_with_edges = sorted({d for _, d, _ in edges})
     np.testing.assert_allclose(out[0, dst_with_edges], ref[dst_with_edges], rtol=2e-3, atol=2e-3)
+
+
+def test_gated_attention_matches_edge_list_reference():
+    # neighborhoods cover most of the source set (K=3 of S=8)
+    _check_gated_attention_parity(S=8)
+
+
+def test_gated_attention_parity_sparse_neighborhood():
+    # neighborhoods are a small fraction of the source set (K=3 of S=64)
+    _check_gated_attention_parity(S=64)
 
 
 def test_rel_pe_features_basic():
