@@ -15,7 +15,12 @@ import jax.numpy as jnp
 
 from prosim_tpu.core.registry import registry
 from prosim_tpu.data.batch import Prompt, SceneTokens
-from prosim_tpu.ops.attention import GatedNeighborAttention, RelPE, rel_pe_features
+from prosim_tpu.ops.attention import (
+    GatedNeighborAttention,
+    RelPE,
+    gather_src_features,
+    rel_pe_features,
+)
 from prosim_tpu.ops.mlp import MLP
 from prosim_tpu.ops.neighbors import neighbor_topk
 
@@ -90,11 +95,16 @@ class SymCoordDecoder(nn.Module):
             rel_pe_features(prompt.pos, prompt.ori, scene.pos, scene.ori, s2p_idx, self.learnable_pe)
         )
 
+        # scene tokens are layer-constant here: gather their normalized
+        # features once and share across the whole s2p stack
+        s2p_g = gather_src_features(scene.tokens, s2p_idx)
+
         x_p = prompt_emb
         for i in range(self.num_layers):
             x_p = self.p2p_layers[i](x_p, x_p, p2p_idx, p2p_valid, p2p_pe, deterministic=deterministic)
             x_p = self.s2p_layers[i](
-                x_p, scene.tokens, s2p_idx, s2p_valid, s2p_pe, deterministic=deterministic
+                x_p, scene.tokens, s2p_idx, s2p_valid, s2p_pe,
+                deterministic=deterministic, src_gathered=s2p_g,
             )
         x_p = jnp.where(prompt.mask[..., None], x_p, 0.0)
 

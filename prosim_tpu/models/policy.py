@@ -18,7 +18,12 @@ import jax.numpy as jnp
 
 from prosim_tpu.core.registry import registry
 from prosim_tpu.data.batch import SceneTokens
-from prosim_tpu.ops.attention import GatedNeighborAttention, RelPE, rel_pe_features
+from prosim_tpu.ops.attention import (
+    GatedNeighborAttention,
+    RelPE,
+    gather_src_features,
+    rel_pe_features,
+)
 from prosim_tpu.ops.fourier import FourierEmbeddingFix
 from prosim_tpu.ops.mlp import MLP, ContextGating
 from prosim_tpu.ops.neighbors import neighbor_topk
@@ -173,12 +178,20 @@ class PolicyRelPE(nn.Module):
 
         obs_tokens = scene.tokens[:, m:]
         map_tokens = scene.tokens[:, :m]
+        # scene tokens are layer-constant within a replan step: gather their
+        # normalized features once per site and share across all layers (the
+        # per-layer k/v gathers here were the profiled hot spot: 51 ms per
+        # [6.3M,128] m2p gather, 12 per rollout step)
+        a2p_g = gather_src_features(obs_tokens, a2p_idx)
+        m2p_g = gather_src_features(map_tokens, m2p_idx)
         for i in range(self.num_layers):
             x_p = self.a2p_layers[i](
-                x_p, obs_tokens, a2p_idx, a2p_valid, a2p_pe, deterministic=deterministic
+                x_p, obs_tokens, a2p_idx, a2p_valid, a2p_pe,
+                deterministic=deterministic, src_gathered=a2p_g,
             )
             x_m = self.m2p_layers[i](
-                x_p, map_tokens, m2p_idx, m2p_valid, m2p_pe, deterministic=deterministic
+                x_p, map_tokens, m2p_idx, m2p_valid, m2p_pe,
+                deterministic=deterministic, src_gathered=m2p_g,
             )
             x_p = x_p if self.not_use_map else x_m
         return x_p

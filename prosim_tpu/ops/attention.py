@@ -95,6 +95,13 @@ def _norm_stats(x, eps: float = 1e-6):
     return ((x32 - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
+def gather_src_features(x_src, idx):
+    """Precompute the gathered, parameter-free-normalized source features
+    shared by every layer of a cross-attention stack whose source tokens do
+    not evolve (s2p, a2p, m2p). [B,S,D], [B,Q,K] -> [B,Q,K,D]."""
+    return gather_neighbors(_norm_stats(x_src), idx)
+
+
 class GatedNeighborAttention(nn.Module):
     hidden_dim: int
     num_heads: int
@@ -112,75 +119,96 @@ class GatedNeighborAttention(nn.Module):
         edge_valid,
         rel_pe,
         deterministic: bool = True,
+        src_gathered=None,
     ):
         """x_dst [B,Q,D], x_src [B,S,D], idx [B,Q,K], edge_valid [B,Q,K],
-        rel_pe [B,Q,K,D] -> [B,Q,D]."""
-        # The k/v gathers below depend only on (x_src, idx), so in a stack of
-        # layers XLA's scheduler hoists every layer's gathers ahead of the
-        # sequential chain and keeps num_layers * 2 * [B,Q,K,inner] buffers
-        # live at once - measured 24.8 G of 15.7 G HBM at production shapes
-        # on v5e. Tying idx to this layer's own query input serializes each
-        # layer's gathers behind the previous layer. No-op math-wise.
-        idx, x_dst = jax.lax.optimization_barrier((idx, x_dst))
+        rel_pe [B,Q,K,D] -> [B,Q,D].
+
+        src_gathered: optional [B,Q,K,D] from gather_src_features(x_src, idx),
+        shared across a whole stack when x_src is layer-constant.
+
+        Performance design (all exact math, identical parameter tree to the
+        torch reference layer, reference: attention_layer.py:87-121):
+
+        XLA's TPU gather runs at ~30 GB/s effective, so per-edge [B,Q,K,*]
+        materializations dominate everything at production shapes (K=512-768).
+        The reference formulation needs, per layer: gathered k, gathered v,
+        and a per-edge LayerNorm+projection of the rel-PE - measured 51 ms
+        per [6.3M,128] gather on v5e, 12 of them per rollout step. All of it
+        folds out of the per-edge path, because LayerNorm splits into a
+        parameter-free normalization z (shared across layers, CSE'd) and a
+        per-layer affine, and the k/v/PE projections are linear:
+          score:  q . W_k LN_s(x_j)  = ((W_k^T q) * g_s) . z_x[j] + q.(W_k b_s)
+                  q . W_kr LN_r(r_j) = ((W_kr^T q) * g_r) . z_r[j] + q.(W_kr b_r)
+          value:  sum_k a_k (W_v LN_s(x_k) + c_v + W_vr LN_r(r_k) + c_vr)
+                = W_v (g_s * sum_k a_k z_x[k]) + W_vr (g_r * sum_k a_k z_r[k])
+                  + (W_v b_s + c_v + W_vr b_r + c_vr) * sum_k a_k
+        Per layer this leaves two [B,Q,K,D]-reading einsums (MXU-friendly,
+        contraction over D) and zero gathers when src_gathered is supplied
+        (one D-wide gather otherwise - half the reference's k+v traffic).
+        prenorm_src/prenorm_dst/prenorm_r keep LayerNorm's scale/bias param
+        names; W/c come from the unchanged Dense modules via identity probes.
+        """
         H, hd = self.num_heads, self.head_dim
         inner = H * hd
         scale = hd ** -0.5
+        B, Q, K = idx.shape
 
-        ln_src = nn.LayerNorm(dtype=self.dtype, name="prenorm_src")
+        # src-side LayerNorm affine (shared with dst when not bipartite)
+        D_src = x_src.shape[-1]
+        g_s, b_s = _AffineParams(D_src, name="prenorm_src")()
+        g_s = g_s.astype(self.dtype)
+        b_s = b_s.astype(self.dtype)
         if self.bipartite:
-            ln_dst = nn.LayerNorm(dtype=self.dtype, name="prenorm_dst")
+            g_d, b_d = _AffineParams(x_dst.shape[-1], name="prenorm_dst")()
+            x_dst_n = _norm_stats(x_dst) * g_d.astype(self.dtype) + b_d.astype(self.dtype)
         else:
-            ln_dst = ln_src
-        x_src_n = ln_src(x_src)
-        x_dst_n = ln_dst(x_dst)
+            x_dst_n = _norm_stats(x_dst) * g_s + b_s
+
+        if src_gathered is None:
+            # The gather depends only on (x_src, idx); in a stack of layers
+            # XLA's scheduler hoists every layer's gathers ahead of the
+            # sequential chain and keeps all of them live at once - measured
+            # 24.8 G of 15.7 G HBM at production shapes on v5e. Tying idx to
+            # this layer's own query input serializes them. No-op math-wise.
+            idx_l, x_dst = jax.lax.optimization_barrier((idx, x_dst))
+            x_g = gather_src_features(x_src, idx_l)
+        else:
+            x_g = src_gathered
 
         q = nn.Dense(inner, dtype=self.dtype, name="to_q")(x_dst_n)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x_src_n)
-        v = nn.Dense(inner, dtype=self.dtype, name="to_v")(x_src_n)
+        qh = q.reshape(B, Q, H, hd)
 
-        # --- rel-PE handling. The reference projects the (LayerNormed) PE on
-        # every edge (attention_layer.py:89-91: k + W_kr LN(r), v + W_vr LN(r)),
-        # which at K = 512-768 neighbors costs a [D, inner] matmul on millions
-        # of edges and materializes [B, Q, K, inner] tensors per layer - the
-        # dominant cost (and, at batch 64, the HBM-capacity limit) of the whole
-        # model. All of it folds out exactly:
-        #   LN:     LN_l(r) = g_l * z + b_l with z the parameter-free
-        #           normalization - z is identical across layers (CSE'd),
-        #           g_l/b_l fold into the small per-query tensors;
-        #   score:  q . (W_kr LN(r)) = ((W_kr^T q) * g) . z + (W_kr^T q) . b
-        #   value:  sum_k a_k (W_vr LN(r_k) + c) =
-        #           W_vr (g * sum_k a_k z_k) + (W_vr b + c) * sum_k a_k
-        # Parameter trees stay identical: prenorm_r keeps LayerNorm's
-        # scale/bias names, and W/c come from the unchanged Dense modules via
-        # the identity probe.
+        # identity probes: weights of the (unchanged) k/v/PE projections
+        eye_s = jnp.eye(D_src, dtype=self.dtype)
+        w_k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(eye_s)
+        to_v = nn.Dense(inner, dtype=self.dtype, name="to_v")
+        c_v = to_v(jnp.zeros((D_src,), self.dtype))
+        w_v = to_v(eye_s) - c_v[None, :]
+
         D_pe = rel_pe.shape[-1]
-        z = _norm_stats(rel_pe)
+        z_r = _norm_stats(rel_pe)
         g_r, b_r = _AffineParams(D_pe, name="prenorm_r")()
         g_r = g_r.astype(self.dtype)
         b_r = b_r.astype(self.dtype)
-        eye = jnp.eye(D_pe, dtype=self.dtype)
-        w_kr = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_r")(eye)
+        eye_r = jnp.eye(D_pe, dtype=self.dtype)
+        w_kr = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_r")(eye_r)
         to_v_r = nn.Dense(inner, dtype=self.dtype, name="to_v_r")
-        c_vr = to_v_r(jnp.zeros((D_pe,), self.dtype))      # [inner]
-        w_vr = to_v_r(eye) - c_vr[None, :]                 # [D_pe, inner]
+        c_vr = to_v_r(jnp.zeros((D_pe,), self.dtype))
+        w_vr = to_v_r(eye_r) - c_vr[None, :]
 
-        B, Q, K = idx.shape
-        qh = q.reshape(B, Q, H, hd)
-
+        # fold projections into the query side: [B,Q,H,D]
+        q_k = jnp.einsum("bqhe,dhe->bqhd", qh, w_k.reshape(D_src, H, hd))
         q_pe = jnp.einsum("bqhe,dhe->bqhd", qh, w_kr.reshape(D_pe, H, hd))
-        # Base q.k scores on gathered keys. (A "dense" variant - score every
-        # source token then take_along_axis, scatter attention weights back
-        # for a dense value matmul - was measured on a real v5e chip and the
-        # scatter lowers catastrophically: 347 ms vs 80 ms per 6-layer stack
-        # at the s2p site, plus 45 s extra compile. Gather-based indexing is
-        # the fast path on TPU.)
-        kh = gather_neighbors(k, idx).reshape(B, Q, K, H, hd)
-        sim_base = jnp.einsum("bqhd,bqkhd->bqkh", qh, kh)
-        sim_pe = (
-            jnp.einsum("bqhd,bqkd->bqkh", q_pe * g_r[None, None, None], z)
-            + jnp.einsum("bqhd,d->bqh", q_pe, b_r)[:, :, None]
-        )
-        sim = (sim_base + sim_pe) * scale
+
+        sim = (
+            jnp.einsum("bqhd,bqkd->bqkh", q_k * g_s[None, None, None], x_g)
+            + jnp.einsum("bqhd,bqkd->bqkh", q_pe * g_r[None, None, None], z_r)
+            + (
+                jnp.einsum("bqhd,d->bqh", q_k, b_s)
+                + jnp.einsum("bqhd,d->bqh", q_pe, b_r)
+            )[:, :, None]
+        ) * scale
         sim = jnp.where(edge_valid[..., None], sim, -jnp.inf)
         sim_max = jnp.max(sim, axis=2, keepdims=True)
         sim_max = jnp.where(jnp.isfinite(sim_max), sim_max, 0.0)
@@ -192,16 +220,18 @@ class GatedNeighborAttention(nn.Module):
                 attn, deterministic=deterministic
             )
 
-        vh = gather_neighbors(v, idx).reshape(B, Q, K, H, hd)
-        agg_v = jnp.einsum("bqkh,bqkhd->bqhd", attn, vh)
-        agg_z = jnp.einsum("bqkh,bqkd->bqhd", attn, z)
+        agg_x = jnp.einsum("bqkh,bqkd->bqhd", attn, x_g)
+        agg_z = jnp.einsum("bqkh,bqkd->bqhd", attn, z_r)
+        agg_v = jnp.einsum(
+            "bqhd,dhe->bqhe", agg_x * g_s[None, None, None], w_v.reshape(D_src, H, hd)
+        )
         agg_pe = jnp.einsum(
             "bqhd,dhe->bqhe", agg_z * g_r[None, None, None], w_vr.reshape(D_pe, H, hd)
         )
         attn_sum = attn.sum(axis=2)  # 1 with >=1 valid neighbor, else 0
-        const_pe = (b_r @ w_vr + c_vr).reshape(H, hd)
+        const = (b_s @ w_v + c_v + b_r @ w_vr + c_vr).reshape(H, hd)
         agg = (
-            agg_v + agg_pe + const_pe[None, None] * attn_sum[..., None]
+            agg_v + agg_pe + const[None, None] * attn_sum[..., None]
         ).reshape(B, Q, inner)
 
         g = nn.sigmoid(
