@@ -18,8 +18,9 @@ from prosim_tpu.data.batch import Prompt, SceneTokens
 from prosim_tpu.ops.attention import (
     GatedNeighborAttention,
     RelPE,
-    gather_src_features,
     rel_pe_features,
+    rel_pe_input,
+    site_gather,
 )
 from prosim_tpu.ops.mlp import MLP
 from prosim_tpu.ops.neighbors import neighbor_topk
@@ -91,13 +92,14 @@ class SymCoordDecoder(nn.Module):
             k=self.max_neigh,
             radius=self.scene_radius if radius else None,
         )
-        s2p_pe = self.s2p_pe(
-            rel_pe_features(prompt.pos, prompt.ori, scene.pos, scene.ori, s2p_idx, self.learnable_pe)
+        # scene tokens are layer-constant here: one combined gather
+        # (normalized features + pos + ori), shared across the s2p stack
+        s2p_g, s2p_npos, s2p_nori = site_gather(
+            scene.tokens, scene.pos, scene.ori, s2p_idx
         )
-
-        # scene tokens are layer-constant here: gather their normalized
-        # features once and share across the whole s2p stack
-        s2p_g = gather_src_features(scene.tokens, s2p_idx)
+        s2p_pe = self.s2p_pe(
+            rel_pe_input(prompt.pos, prompt.ori, s2p_npos, s2p_nori, self.learnable_pe)
+        )
 
         x_p = prompt_emb
         for i in range(self.num_layers):

@@ -14,6 +14,7 @@ re-indexing (temporal_ar.py:8-39) disappear: the batch stays [B, N] padded.
 """
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from prosim_tpu.core.registry import registry
@@ -21,8 +22,8 @@ from prosim_tpu.data.batch import SceneTokens
 from prosim_tpu.ops.attention import (
     GatedNeighborAttention,
     RelPE,
-    gather_src_features,
-    rel_pe_features,
+    rel_pe_input,
+    site_gather,
 )
 from prosim_tpu.ops.fourier import FourierEmbeddingFix
 from prosim_tpu.ops.mlp import MLP, ContextGating
@@ -56,6 +57,7 @@ class PolicyRelPE(nn.Module):
     goal_recon_head: bool = False
     not_use_map: bool = False
     dropout: float = 0.0
+    fused_stack: bool = True
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -165,25 +167,65 @@ class PolicyRelPE(nn.Module):
             pos, obs_pos, mask, obs_mask, k=self.max_neigh,
             radius=self.agent_radius if radius else None,
         )
-        a2p_pe = self.a2p_pe(
-            rel_pe_features(pos, ori, obs_pos, obs_ori, a2p_idx, self.learnable_pe)
-        )
         m2p_idx, m2p_valid = neighbor_topk(
             pos, map_pos, mask, map_mask, k=self.max_neigh,
             radius=self.map_radius if radius else None,
         )
-        m2p_pe = self.m2p_pe(
-            rel_pe_features(pos, ori, map_pos, map_ori, m2p_idx, self.learnable_pe)
-        )
-
         obs_tokens = scene.tokens[:, m:]
         map_tokens = scene.tokens[:, :m]
-        # scene tokens are layer-constant within a replan step: gather their
-        # normalized features once per site and share across all layers (the
-        # per-layer k/v gathers here were the profiled hot spot: 51 ms per
-        # [6.3M,128] m2p gather, 12 per rollout step)
-        a2p_g = gather_src_features(obs_tokens, a2p_idx)
-        m2p_g = gather_src_features(map_tokens, m2p_idx)
+        # One combined per-edge gather per site (normalized src features +
+        # pos + ori in a single wide row): XLA's TPU gather cost is per-row,
+        # so the separate feature/pos/ori gathers here were the profiled hot
+        # spot of the whole rollout (51-64 ms per [6.3M,*] gather per step).
+        # The gathered features are layer-constant within a replan step and
+        # shared across all attention layers.
+        a2p_g, a2p_npos, a2p_nori = site_gather(obs_tokens, obs_pos, obs_ori, a2p_idx)
+        m2p_g, m2p_npos, m2p_nori = site_gather(map_tokens, map_pos, map_ori, m2p_idx)
+        a2p_feats = rel_pe_input(pos, ori, a2p_npos, a2p_nori, self.learnable_pe)
+        m2p_feats = rel_pe_input(pos, ori, m2p_npos, m2p_nori, self.learnable_pe)
+
+        # Fused Pallas path: the entire interleaved a2p/m2p stack runs in one
+        # kernel with the per-edge tables VMEM-resident (one HBM pass per
+        # step instead of two reads per layer); the fixed Fourier rel-PE is
+        # expanded in-kernel from the 4 raw features, so the [B,N,K,D] PE
+        # embeddings never exist in HBM. Forward/rollout only - the kernel
+        # has no VJP, so training (deterministic=False) and CPU keep the XLA
+        # loop below, which the kernel is parity-tested against.
+        use_fused = (
+            self.fused_stack
+            and deterministic
+            and not self.not_use_map
+            and not self.learnable_pe
+            and not self.is_initializing()
+            and jax.default_backend() == "tpu"
+        )
+        if use_fused:
+            from prosim_tpu.ops.fused_stack import (
+                fused_two_site_stack,
+                pack_site_weights,
+            )
+
+            p = self.variables["params"]
+            wa = pack_site_weights(
+                p, "a2p", self.num_layers, self.num_heads, self.head_dim, self.dtype
+            )
+            wm = pack_site_weights(
+                p, "m2p", self.num_layers, self.num_heads, self.head_dim, self.dtype
+            )
+            return fused_two_site_stack(
+                x_p,
+                (a2p_g, a2p_feats, a2p_valid),
+                (m2p_g, m2p_feats, m2p_valid),
+                wa,
+                wm,
+                num_layers=self.num_layers,
+                num_heads=self.num_heads,
+                head_dim=self.head_dim,
+                pe_dim=self.hidden_dim,
+            )
+
+        a2p_pe = self.a2p_pe(a2p_feats)
+        m2p_pe = self.m2p_pe(m2p_feats)
         for i in range(self.num_layers):
             x_p = self.a2p_layers[i](
                 x_p, obs_tokens, a2p_idx, a2p_valid, a2p_pe,
@@ -281,5 +323,6 @@ def build_policy(config, dtype=jnp.float32) -> PolicyRelPE:
         goal_recon_head=config.LOSS.ROLLOUT_TRAJ.USE_GOAL_PRED_LOSS,
         not_use_map=attn.NOT_USE_MAP,
         dropout=attn.DROPOUT,
+        fused_stack=attn.FUSED_STACK,
         dtype=dtype,
     )

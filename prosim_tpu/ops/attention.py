@@ -35,16 +35,7 @@ def rel_pe_features(dst_pos, dst_ori, src_pos, src_ori, idx, learnable_pe: bool)
     """
     nbr_pos = gather_neighbors(src_pos, idx)  # [B,Q,K,2]
     nbr_ori = gather_neighbors(src_ori[..., None], idx)[..., 0]  # [B,Q,K]
-
-    rel_pos = nbr_pos - dst_pos[:, :, None, :]
-    dist = jnp.linalg.norm(rel_pos, axis=-1)
-    rel_ori = wrap_angle(nbr_ori - dst_ori[:, :, None])
-    ori_vec_dst = jnp.stack([jnp.cos(dst_ori), jnp.sin(dst_ori)], axis=-1)
-    rel_ori_vec = angle_between_2d_vectors(ori_vec_dst[:, :, None, :], rel_pos)
-
-    if learnable_pe:
-        return jnp.stack([dist, rel_ori, rel_ori_vec], axis=-1)
-    return jnp.stack([dist, rel_ori, rel_ori_vec, rel_ori_vec], axis=-1)
+    return rel_pe_input(dst_pos, dst_ori, nbr_pos, nbr_ori, learnable_pe)
 
 
 class RelPE(nn.Module):
@@ -100,6 +91,49 @@ def gather_src_features(x_src, idx):
     shared by every layer of a cross-attention stack whose source tokens do
     not evolve (s2p, a2p, m2p). [B,S,D], [B,Q,K] -> [B,Q,K,D]."""
     return gather_neighbors(_norm_stats(x_src), idx)
+
+
+def site_gather(x_src, src_pos, src_ori, idx):
+    """One combined per-edge gather for a cross-attention site.
+
+    XLA's TPU gather cost is per-ROW (~8-10 ns/row measured on v5e),
+    nearly independent of row width: gathering pos [2], ori [1] and
+    normalized features [D] separately costs 3x one combined gather.
+    Concatenate them into a single [B,S,D+3] f32 table, gather once,
+    split. Returns (x_g [B,Q,K,D] in x_src.dtype, nbr_pos [B,Q,K,2] f32,
+    nbr_ori [B,Q,K] f32).
+    """
+    D = x_src.shape[-1]
+    table = jnp.concatenate(
+        [
+            _norm_stats(x_src).astype(jnp.float32),
+            src_pos.astype(jnp.float32),
+            src_ori[..., None].astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+    g = gather_neighbors(table, idx)
+    # barrier: force the three slices to materialize as separate (smaller)
+    # buffers so the wide f32 gather output can be freed - otherwise XLA
+    # fuses the slices into downstream consumers and keeps the combined
+    # [B,Q,K,D+3] f32 buffer (GBs at production shapes) live through the
+    # whole PE pipeline
+    return jax.lax.optimization_barrier(
+        (g[..., :D].astype(x_src.dtype), g[..., D : D + 2], g[..., D + 2])
+    )
+
+
+def rel_pe_input(dst_pos, dst_ori, nbr_pos, nbr_ori, learnable_pe: bool):
+    """rel_pe_features from already-gathered neighbor pos/ori
+    (see site_gather). dst_pos [B,Q,2], nbr_pos [B,Q,K,2]."""
+    rel_pos = nbr_pos - dst_pos[:, :, None, :]
+    dist = jnp.linalg.norm(rel_pos, axis=-1)
+    rel_ori = wrap_angle(nbr_ori - dst_ori[:, :, None])
+    ori_vec_dst = jnp.stack([jnp.cos(dst_ori), jnp.sin(dst_ori)], axis=-1)
+    rel_ori_vec = angle_between_2d_vectors(ori_vec_dst[:, :, None, :], rel_pos)
+    if learnable_pe:
+        return jnp.stack([dist, rel_ori, rel_ori_vec], axis=-1)
+    return jnp.stack([dist, rel_ori, rel_ori_vec, rel_ori_vec], axis=-1)
 
 
 class GatedNeighborAttention(nn.Module):

@@ -67,6 +67,13 @@ def neighbor_topk(
     return idx.astype(jnp.int32), valid
 
 
+# NOTE (measured on v5e): re-sorting each query's neighbor list by ascending
+# source index before gathering - attention is permutation-invariant over the
+# neighbor axis - does NOT pay off: the per-step argsort of [B,N,K] costs far
+# more than any gather-locality gain (17.6 -> 12.4 scenes/s end-to-end).
+# XLA's TPU gather cost is per-row and insensitive to index order.
+
+
 def gather_neighbors(src, idx):
     """Gather per-neighbor features: src [B, S, ...], idx [B, Q, K] -> [B, Q, K, ...]."""
     return jnp.take_along_axis(
