@@ -18,6 +18,7 @@ from prosim_tpu.data.batch import MapInputs, ObsInputs, SceneTokens
 from prosim_tpu.ops.attention import GatedNeighborAttention, RelPE, rel_pe_features
 from prosim_tpu.ops.mlp import MLP
 from prosim_tpu.ops.neighbors import neighbor_topk
+from prosim_tpu.ops.pallas_topk import neighbor_topk_auto
 from prosim_tpu.ops.pointnet import PointNetPolylineEncoder
 
 
@@ -226,7 +227,10 @@ class SceneEncoderAttnRelPE(nn.Module):
             rel_pe_features(obs_pos, obs_ori, obs_pos, obs_ori, a2a_idx, self.learnable_pe)
         )
 
-        s2s_idx, s2s_valid = neighbor_topk(
+        # small-k selection over the full token grid: the Pallas iterative
+        # argmin kernel avoids materializing + sorting the [B,S,S] distance
+        # matrix (178 ms in the XLA path at S=2304, k=32)
+        s2s_idx, s2s_valid = neighbor_topk_auto(
             scene.pos, scene.pos, scene.mask, scene.mask, k=self.max_neigh
         )
         s2s_pe = self.s2s_pe(

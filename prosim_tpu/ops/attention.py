@@ -33,9 +33,14 @@ def rel_pe_features(dst_pos, dst_ori, src_pos, src_ori, idx, learnable_pe: bool)
     matching reference feature construction
     (reference: prosim/models/scene_encoder/attn_fusion.py:44-76).
     """
-    nbr_pos = gather_neighbors(src_pos, idx)  # [B,Q,K,2]
-    nbr_ori = gather_neighbors(src_ori[..., None], idx)[..., 0]  # [B,Q,K]
-    return rel_pe_input(dst_pos, dst_ori, nbr_pos, nbr_ori, learnable_pe)
+    # one combined [B,S,3] gather instead of separate pos/ori gathers:
+    # XLA's TPU gather cost is per-row, not per-byte
+    table = jnp.concatenate(
+        [src_pos.astype(jnp.float32), src_ori[..., None].astype(jnp.float32)],
+        axis=-1,
+    )
+    g = gather_neighbors(table, idx)
+    return rel_pe_input(dst_pos, dst_ori, g[..., :2], g[..., 2], learnable_pe)
 
 
 class RelPE(nn.Module):
