@@ -8,7 +8,6 @@ cross-attend to nearby scene tokens (s2p), with relative PE; optional K-way
 goal heads.
 """
 
-from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

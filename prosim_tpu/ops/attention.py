@@ -6,15 +6,15 @@ replacing the reference's torch_geometric MessagePassing edge-list attention
 (reference: prosim/models/layers/attention_layer.py:13-121) with a dense
 [B, Q, K] formulation that XLA tiles onto the MXU.
 
-Exact semantics preserved:
+Exact semantics preserved (via the per-edge weight fold documented on
+GatedNeighborAttention - the parameter tree matches the reference layer):
   * pre-LayerNorm on src/dst (shared when not bipartite) and on the rel-PE;
-  * rel-PE projected and ADDED to gathered keys and values;
+  * rel-PE projected and added to keys and values on every edge;
   * per-destination softmax over valid neighbors;
   * gated update  agg + sigmoid(W_g[agg, x_dst_n]) * (W_s x_dst_n - agg);
   * post-LN residual, then pre/post-LN FFN residual.
 """
 
-from typing import Optional
 
 import flax.linen as nn
 import jax
