@@ -75,6 +75,10 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--mode", default="rollout", choices=["rollout", "train"],
                     help="closed-loop inference or full training step")
+    ap.add_argument("--conditions", default="none",
+                    choices=["none", "goal", "tags", "text", "all"],
+                    help="prompt-condition types to run through the "
+                         "condition transformer (promptable-path bench)")
     ap.add_argument("--real-data", action="store_true",
                     help="use demo trajdata-cache scenes instead of synthetic")
     ap.add_argument("--cache-dir",
@@ -86,11 +90,19 @@ def main():
     from prosim_tpu.models.prosim import ProSim
     import jax.numpy as jnp
 
+    cond_types = {
+        "none": [],
+        "goal": ["goal"],
+        "tags": ["goal", "v_action_tag", "drag_point"],
+        "text": ["llm_text_OneText"],
+        "all": ["goal", "v_action_tag", "drag_point", "llm_text_OneText"],
+    }[args.conditions]
     config = get_config(opts=[
         "DATASET.FORMAT.PAD.NUM_LANES", str(args.lanes),
         "DATASET.FORMAT.PAD.NUM_OBS_AGENTS", str(args.obs_agents),
         "DATASET.FORMAT.PAD.NUM_AGENTS", str(args.agents),
         "MODEL.DTYPE", args.dtype,
+        "PROMPT.CONDITION.TYPES", repr(cond_types),
     ])
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = ProSim(config, dtype=dtype)
@@ -158,6 +170,15 @@ def main():
         metric = "closed_loop_scene_rollouts_per_sec_per_chip"
 
     scenes_per_sec = args.batch * args.iters / dt
+
+    # agent-steps/sec/chip (BASELINE.md tracked metric): valid policy agents
+    # per scene x 80 closed-loop steps (8 replans x 10 Hz chunks)
+    import numpy as np
+
+    agents_per_scene = float(np.asarray(batch.prompt.mask).sum()) / args.batch
+    steps = int(batch.fut_obs.feat.shape[1]) * config.ROLLOUT.POLICY.REPLAN_FREQ
+    agent_steps = scenes_per_sec * agents_per_scene * steps
+
     print(
         json.dumps(
             {
@@ -165,6 +186,10 @@ def main():
                 "value": round(scenes_per_sec, 3),
                 "unit": "scenes/s",
                 "vs_baseline": round(scenes_per_sec / TARGET_PER_CHIP, 3),
+                "agent_steps_per_sec_per_chip": round(agent_steps, 1),
+                "conditions": args.conditions,
+                "mode": args.mode,
+                "real_data": bool(args.real_data),
             }
         )
     )

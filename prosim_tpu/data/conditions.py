@@ -25,8 +25,10 @@ import numpy as np
 from prosim_tpu.data.batch import Condition, SceneBatch
 from prosim_tpu.data.motion_tags import (
     MotionTag,
+    V2VTag,
     VActionTag,
     derive_motion_tags,
+    derive_v2v_tags,
     filter_to_interval,
     process_tags,
 )
@@ -113,6 +115,41 @@ class ConditionGenerator:
             "mask": np.ones(len(rows), bool),
             "prompt_idx": np.asarray(pidx, np.int32)[:, None],
         }
+
+    def v2v_tag_condition(self, tags: List[MotionTag], agent_names: List[str],
+                          rng) -> dict:
+        """Binary (pair) tag conditions: [tag id, start, end] rows with 2-wide
+        prompt_idx (reference: condition_utils.py:317-364). Both agents must
+        be prompt agents."""
+        used = self._v2v_used_tags()
+        name_to_idx = {n: i for i, n in enumerate(agent_names)}
+        rows, pidx = [], []
+        for t in tags:
+            if t.type != "binary" or t.tag not in used:
+                continue
+            if any(a not in name_to_idx for a in t.agents[:2]):
+                continue
+            rows.append([V2VTag[t.tag].value, t.interval[0], t.interval[1]])
+            pidx.append([name_to_idx[t.agents[0]], name_to_idx[t.agents[1]]])
+        if not rows:
+            return {
+                "input": np.zeros((0, 3), np.float32),
+                "mask": np.zeros((0,), bool),
+                "prompt_idx": np.zeros((0, 2), np.int32),
+            }
+        return {
+            "input": np.asarray(rows, np.float32),
+            "mask": np.ones(len(rows), bool),
+            "prompt_idx": np.asarray(pidx, np.int32),
+        }
+
+    def _v2v_used_tags(self) -> List[str]:
+        """V2V names from USED_TAGS; when the config lists only unary tags
+        (the common case - the reference default is unary-only), all pair
+        tags are considered used."""
+        v2v = [t for t in self.cond_cfg.MOTION_TAG.USED_TAGS
+               if t in V2VTag.__members__]
+        return v2v or list(V2VTag.__members__)
 
     def drag_point_condition(self, full_traj_xy, full_valid, prompt_valid, rng) -> dict:
         """full_traj_xy [N, T*S, 2] local-frame future; subsample and jitter."""
@@ -213,6 +250,12 @@ class ConditionGenerator:
                 dt=self.config.DATASET.MOTION.DT,
                 used_tags=mt_cfg.USED_TAGS,
             )
+            if "v2v_tag" in self.types:
+                raw += derive_v2v_tags(
+                    scene.states, scene.valid, scene.agent_names,
+                    dt=self.config.DATASET.MOTION.DT,
+                    used_tags=self._v2v_used_tags(),
+                )
             raw = filter_to_interval(raw, scene_ts, scene_ts + fut_horizon)
             tags = process_tags(raw, mt_cfg.INTEGRATE_TOLERANCE, mt_cfg.MIN_DURATION)
 
@@ -230,6 +273,10 @@ class ConditionGenerator:
                 if agent_names_by_slot is None:
                     continue
                 data = self.action_tag_condition(tags or [], agent_names_by_slot, rng)
+            elif ctype == "v2v_tag":
+                if agent_names_by_slot is None:
+                    continue
+                data = self.v2v_tag_condition(tags or [], agent_names_by_slot, rng)
             elif ctype == "drag_point":
                 data = self.drag_point_condition(
                     np.asarray(io.full_traj_xy)[0],

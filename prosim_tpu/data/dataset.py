@@ -45,6 +45,9 @@ class ProSimImitationDataset:
         if rate > 1:
             self.index = self.index[::rate]
         self._scene_cache = {}
+        import threading
+
+        self._cache_lock = threading.Lock()
 
     def _filter_scenes(self, scenes: Sequence[str]) -> List[str]:
         mode = self.config.DATASET.DATA_LIST.MODE
@@ -62,11 +65,16 @@ class ProSimImitationDataset:
 
     def _load(self, env: str, scene_name: str) -> SceneData:
         key = (env, scene_name)
-        if key not in self._scene_cache:
+        with self._cache_lock:
+            cached = self._scene_cache.get(key)
+        if cached is not None:
+            return cached
+        scene = load_scene(self.cache_dir, env, scene_name)
+        with self._cache_lock:
             if len(self._scene_cache) > 32:
                 self._scene_cache.clear()
-            self._scene_cache[key] = load_scene(self.cache_dir, env, scene_name)
-        return self._scene_cache[key]
+            self._scene_cache[key] = scene
+        return scene
 
     def get_scene_batch(self, idx: int, seed: Optional[int] = None) -> SceneBatch:
         env, scene_name, ts = self.index[idx]
@@ -118,30 +126,54 @@ class ProSimImitationDataset:
 
         q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
         sentinel = object()
+        stop = threading.Event()
+
+        def blocking_put(item) -> bool:
+            # Poll the stop flag so an abandoned consumer (trainer break /
+            # exception) doesn't leave this thread blocked on a full queue.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.25)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 with ThreadPoolExecutor(num_workers) as ex:
                     for i in starts:
+                        if stop.is_set():
+                            return
                         idxs = order[i : i + batch_size]
                         scenes = list(
                             ex.map(lambda j: self.get_scene_batch(int(j)), idxs)
                         )
-                        q.put(collate(scenes))
-                q.put(sentinel)
+                        if not blocking_put(collate(scenes)):
+                            return
+                blocking_put(sentinel)
             except BaseException as e:  # propagate into the consumer
-                q.put(e)
+                blocking_put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # Drain so a producer blocked mid-put can observe the flag fast.
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=30.0)
 
 
 @registry.register_dataset(name="prosim")

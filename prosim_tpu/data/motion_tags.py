@@ -24,10 +24,14 @@ import numpy as np
 
 
 class VActionTag(IntEnum):
-    Accelerate = 0
-    Decelerate = 1
-    KeepSpeed = 2
-    Stopping = 3
+    """Unary tag vocab; values match the reference enum exactly
+    (reference: prosim/dataset/motion_tag_utils.py:4-15) so tag ids in data,
+    parameter-bank rows, and converted checkpoints line up."""
+
+    Stopping = 0
+    Accelerate = 1
+    Decelerate = 2
+    KeepSpeed = 3
     LeftLaneChange = 4
     RightLaneChange = 5
     KeepLane = 6
@@ -38,9 +42,13 @@ class VActionTag(IntEnum):
 
 
 class V2VTag(IntEnum):
-    Follow = 0
-    Yield = 1
-    Pass = 2
+    """Binary (pair) tag vocab (reference: motion_tag_utils.py:17-22)."""
+
+    Following = 0
+    ParallelDriving = 1
+    Merging = 2
+    ByPassing = 3
+    Overtaking = 4
 
 
 # tags that cannot coexist on the same agent at the same time; on overlap the
@@ -191,6 +199,121 @@ def derive_motion_tags(
         emit("Straight", (np.abs(dhead) <= turn_rate_thresh) & (sm_speed > stop_speed))
 
     return tags
+
+
+def derive_v2v_tags(
+    states: np.ndarray,       # [A, T, 8]
+    valid: np.ndarray,        # [A, T]
+    agent_names: Sequence[str],
+    dt: float = 0.1,
+    used_tags: Optional[Sequence[str]] = None,
+    max_range: float = 30.0,
+    same_dir_thresh: float = 0.5,   # rad
+    lane_width: float = 3.7,
+    min_speed: float = 0.5,
+) -> List[MotionTag]:
+    """Heuristic binary (pair) tags from pairwise trajectory geometry - the
+    self-contained substitute for the 520k release's GPT-labeled pair tags
+    (reference vocab: motion_tag_utils.py:17-22; builder contract:
+    condition_utils.py:317-364). Pair (i, j) reads as "agent i <tag> agent j".
+
+      Following       - j ahead of i in i's lane direction, small lateral
+                        offset, similar heading, both moving
+      ParallelDriving - similar heading, ~a lane apart laterally, overlapping
+                        longitudinally, both moving
+      Merging         - lateral gap shrinking below a lane while headings
+                        converge and i sits beside/behind j
+      ByPassing       - i drives past a (near-)stopped j at a lateral offset
+      Overtaking      - i goes from behind j to ahead of j while both move
+    """
+    from prosim_tpu.data.trajdata_cache import H, VX, VY, X, Y
+
+    used = set(used_tags) if used_tags is not None else {t.name for t in V2VTag}
+    A, T, _ = states.shape
+    tags: List[MotionTag] = []
+
+    xy = np.nan_to_num(states[..., [X, Y]])
+    heading = np.nan_to_num(states[..., H])
+    speed = np.nan_to_num(np.linalg.norm(states[..., [VX, VY]], axis=-1))
+
+    def emit(tag, i, j, mask, t0):
+        if tag not in used or not mask.any():
+            return
+        d = np.diff(np.concatenate([[0], mask.astype(int), [0]]))
+        for st, en in zip(np.nonzero(d == 1)[0], np.nonzero(d == -1)[0]):
+            tags.append(MotionTag(
+                tag, (agent_names[i], agent_names[j]),
+                (int(st + t0), int(en - 1 + t0)), "binary",
+            ))
+
+    for i in range(A):
+        for j in range(A):
+            if i == j:
+                continue
+            both = valid[i] & valid[j]
+            if both.sum() < 5:
+                continue
+            idx = np.nonzero(both)[0]
+            t0, t1 = idx[0], idx[-1] + 1
+            sl = slice(t0, t1)
+
+            rel = xy[j, sl] - xy[i, sl]                     # world frame
+            c, s = np.cos(heading[i, sl]), np.sin(heading[i, sl])
+            lon = rel[:, 0] * c + rel[:, 1] * s             # + = j ahead of i
+            lat = -rel[:, 0] * s + rel[:, 1] * c            # + = j left of i
+            dist = np.linalg.norm(rel, axis=-1)
+            dh = np.abs(wrap_angle_np(heading[j, sl] - heading[i, sl]))
+            near = (dist < max_range) & both[sl]
+            same_dir = dh < same_dir_thresh
+            i_moving = speed[i, sl] > min_speed
+            j_moving = speed[j, sl] > min_speed
+
+            emit("Following", i, j,
+                 near & same_dir & i_moving & j_moving
+                 & (lon > 2.0) & (lon < max_range)
+                 & (np.abs(lat) < lane_width / 2), t0)
+
+            emit("ParallelDriving", i, j,
+                 near & same_dir & i_moving & j_moving
+                 & (np.abs(lon) < 8.0)
+                 & (np.abs(lat) > lane_width / 2)
+                 & (np.abs(lat) < 2 * lane_width), t0)
+
+            emit("ByPassing", i, j,
+                 near & i_moving & ~j_moving
+                 & (np.abs(lon) < 10.0)
+                 & (np.abs(lat) > 0.8) & (np.abs(lat) < 2 * lane_width), t0)
+
+            # Merging: beside/behind with the lateral gap closing and
+            # headings converging
+            if "Merging" in used and near.sum() >= 5:
+                abs_lat = np.abs(lat)
+                lat_closing = np.gradient(abs_lat) < -0.02
+                converge = np.gradient(dh) <= 0.002
+                emit("Merging", i, j,
+                     near & i_moving & j_moving & lat_closing & converge
+                     & (abs_lat > lane_width / 2) & (abs_lat < 2 * lane_width)
+                     & (lon > -15.0) & (lon < 15.0), t0)
+
+            # Overtaking: i starts behind j (j ahead, lon > 0) and ends up
+            # ahead of j (lon < 0) while both move
+            if "Overtaking" in used:
+                j_ahead = (lon > 2.0) & near & same_dir
+                j_behind = (lon < -2.0) & near & same_dir
+                if j_ahead.any() and j_behind.any():
+                    first_ahead = int(np.argmax(j_ahead))
+                    after = np.nonzero(j_behind)[0]
+                    after = after[after > first_ahead]
+                    if len(after):
+                        span = np.zeros(t1 - t0, bool)
+                        span[first_ahead:after[0] + 1] = True
+                        emit("Overtaking", i, j,
+                             span & i_moving & j_moving, t0)
+    return tags
+
+
+def wrap_angle_np(a):
+    return (a + np.pi) % (2 * np.pi) - np.pi
 
 
 # ----------------------------------------------------------------- loader

@@ -46,12 +46,26 @@ class InteractiveSim:
         return self.batch
 
     def load_checkpoint(self, path: str):
+        """Non-strict load: converted weights are merged into an initialized
+        params tree so unmapped modules keep their init values instead of
+        leaving missing subtrees that KeyError at apply time (reference loads
+        strict=False, models/base.py:141-147)."""
         from prosim_tpu.utils.checkpoint_convert import load_reference_checkpoint
 
         params, unmapped = load_reference_checkpoint(path)
         if unmapped:
             print(f"note: {len(unmapped)} checkpoint keys not mapped")
-        self.params = params
+        if self.params is None:
+            if self.batch is None:
+                self.load_scene(0)
+        def merge(cur, res):
+            if not isinstance(cur, dict):
+                return res
+            return {
+                k: merge(v, res[k]) if k in res else v for k, v in cur.items()
+            }
+
+        self.params = merge(self.params, params)
 
     # ----------------------------------------------------------- controls
     def _num_agents(self):

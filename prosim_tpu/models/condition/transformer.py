@@ -30,7 +30,7 @@ class ConditionTransformer(nn.Module):
     num_layers: int
     num_heads: int
     head_dim: int
-    num_tags: int
+    num_tags: int = 0  # unused; tag banks are sized by the tag enums
     pool: str = "mean"
     use_temporal_pe: bool = True
     text_attn_type: str = "none"
@@ -55,13 +55,20 @@ class ConditionTransformer(nn.Module):
                     self.hidden_dim, self.use_temporal_pe, dtype=self.dtype
                 )
             elif t == "v_action_tag":
+                # bank indexed by full-enum tag VALUE (not USED_TAGS order):
+                # data-side rows carry VActionTag[t].value, so the id space
+                # must be stable under USED_TAGS subsets
+                from prosim_tpu.data.motion_tags import VActionTag
+
                 encs[t] = VActionTagEncoder(
-                    self.hidden_dim, self.num_tags,
+                    self.hidden_dim, len(VActionTag),
                     use_temporal_pe=self.use_temporal_pe, dtype=self.dtype,
                 )
             elif t == "v2v_tag":
+                from prosim_tpu.data.motion_tags import V2VTag
+
                 encs[t] = V2VTagEncoder(
-                    self.hidden_dim, self.num_tags, binary=True,
+                    self.hidden_dim, len(V2VTag), binary=True,
                     use_temporal_pe=self.use_temporal_pe, dtype=self.dtype,
                 )
             elif t == "drag_point":
@@ -143,7 +150,6 @@ def build_condition_transformer(config, dtype=jnp.float32) -> ConditionTransform
         num_layers=ct.NLAYER,
         num_heads=ct.NHEAD,
         head_dim=ct.FF_DIM,
-        num_tags=len(config.PROMPT.CONDITION.MOTION_TAG.USED_TAGS),
         pool=ct.COND_POOL_FUNC,
         use_temporal_pe=ct.USE_TEMPORAL_ENCODING,
         text_attn_type=ct.TEXT_ATTN.TYPE if text_types else "none",

@@ -67,14 +67,18 @@ class LlamaConfig:
 
 
 def _rope(x, positions, theta):
-    """x [B, T, H, D]; positions [B, T]."""
+    """Rotary embedding, HF half-split (`rotate_half`) convention - the
+    layout HF-format checkpoints assume (their conversion permutes q/k rows
+    from Meta's interleaved layout). x [B, T, H, D]; positions [B, T].
+    Verified bit-parity vs transformers in tests/test_llm.py."""
     d = x.shape[-1]
     freq = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))
     ang = positions[..., None].astype(jnp.float32) * freq  # [B, T, D/2]
     cos, sin = jnp.cos(ang)[:, :, None, :], jnp.sin(ang)[:, :, None, :]
-    x1, x2 = x[..., 0::2], x[..., 1::2]
-    out = jnp.stack([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
-    return out.reshape(x.shape)
+    x1, x2 = x[..., : d // 2], x[..., d // 2 :]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
 
 
 class RMSNorm(nn.Module):

@@ -50,7 +50,7 @@ class LlamaTextAttn(nn.Module):
         self.prompt_to_llm = MLP(
             [self.hidden_dim, self.hidden_dim, H], ret_before_act=True, dtype=self.dtype
         )
-        self.ln_prompt = nn.LayerNorm(dtype=self.dtype)
+        self.ln_prompt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.llm_to_cond = MLP(
             [H, self.hidden_dim, self.hidden_dim], ret_before_act=True, dtype=self.dtype
         )
@@ -150,7 +150,7 @@ class LlamaTextAttnQA(nn.Module):
         self.prompt_to_llm = MLP(
             [self.hidden_dim, self.hidden_dim, H], ret_before_act=True, dtype=self.dtype
         )
-        self.ln_prompt = nn.LayerNorm(dtype=self.dtype)
+        self.ln_prompt = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
 
     def __call__(self, qa_cond: Dict, prompt_cond_emb, prompt: Prompt,
                  deterministic: bool = True) -> Tuple[jnp.ndarray, Optional[Dict]]:

@@ -93,6 +93,22 @@ class ProSim:
         scene = self.scene_encoder.apply(
             {"params": params["scene_encoder"]}, batch.init_obs, batch.init_map
         )
+        if self.scene_encoder.obs_fusion == "mlp":
+            # the fusion MLP only exists on the update_obs path; init it too
+            # so the in-scan update doesn't hit missing params
+            up = self.scene_encoder.init(
+                r1, scene, batch.init_obs.feat, batch.init_obs.mask,
+                batch.init_obs.pos, batch.init_obs.ori, method="update_obs",
+            )["params"]
+
+            def deep_merge(dst, src):
+                for k, v in src.items():
+                    if k in dst and isinstance(v, dict):
+                        deep_merge(dst[k], v)
+                    elif k not in dst:
+                        dst[k] = v
+
+            deep_merge(params["scene_encoder"], up)
         params["prompt_encoder"] = self.prompt_encoder.init(r2, batch.prompt)["params"]
         prompt_emb = self.prompt_encoder.apply(
             {"params": params["prompt_encoder"]}, batch.prompt

@@ -81,7 +81,7 @@ class _AffineParams(nn.Module):
         return scale, bias
 
 
-def _norm_stats(x, eps: float = 1e-6):
+def _norm_stats(x, eps: float = 1e-5):
     """Parameter-free part of LayerNorm (flax semantics: last-dim stats,
     fast variance), computed in f32. Shared/CSE'd when several layers
     normalize the same tensor."""
@@ -282,15 +282,15 @@ class GatedNeighborAttention(nn.Module):
         gated = agg + g * (s - agg)
         out = nn.Dense(self.hidden_dim, dtype=self.dtype, name="to_out")(gated)
 
-        x = x_dst + nn.LayerNorm(dtype=self.dtype, name="postnorm")(out)
+        x = x_dst + nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="postnorm")(out)
 
-        ff_in = nn.LayerNorm(dtype=self.dtype, name="ff_prenorm")(x)
+        ff_in = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ff_prenorm")(x)
         ff = nn.Dense(self.hidden_dim * 4, dtype=self.dtype, name="ff_dense0")(ff_in)
         ff = nn.relu(ff)
         if self.dropout > 0.0 and not deterministic:
             ff = nn.Dropout(rate=self.dropout, name="ff_drop")(ff, deterministic=deterministic)
         ff = nn.Dense(self.hidden_dim, dtype=self.dtype, name="ff_dense1")(ff)
-        x = x + nn.LayerNorm(dtype=self.dtype, name="ff_postnorm")(ff)
+        x = x + nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ff_postnorm")(ff)
         return x
 
 

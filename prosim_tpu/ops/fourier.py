@@ -53,11 +53,11 @@ class FourierEmbedding(nn.Module):
         out = None
         for i in range(self.input_dim):
             h = nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"mlp_{i}_dense0")(feats[..., i, :])
-            h = nn.LayerNorm(dtype=self.dtype, name=f"mlp_{i}_norm")(h)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"mlp_{i}_norm")(h)
             h = nn.relu(h)
             h = nn.Dense(self.hidden_dim, dtype=self.dtype, name=f"mlp_{i}_dense1")(h)
             out = h if out is None else out + h
-        out = nn.LayerNorm(dtype=self.dtype, name="out_norm")(out)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="out_norm")(out)
         out = nn.relu(out)
         out = nn.Dense(self.hidden_dim, dtype=self.dtype, name="out_dense")(out)
         return out

@@ -112,7 +112,7 @@ def pack_site_weights(params, site: str, num_layers: int, num_heads: int,
     return [fields[name] for name in _FIELDS]
 
 
-def _norm(x, eps=1e-6):
+def _norm(x, eps=1e-5):
     """Parameter-free LayerNorm core in f32, cast back (matches
     ops/attention._norm_stats)."""
     x32 = x.astype(jnp.float32)

@@ -30,7 +30,7 @@ class MLP(nn.Module):
             x = nn.Dense(dims[i + 1], dtype=self.dtype, name=f"dense_{i}")(x)
             if i < n - 1:
                 if not self.without_norm:
-                    x = nn.LayerNorm(dtype=self.dtype, name=f"norm_{i}")(x)
+                    x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm_{i}")(x)
                 x = nn.relu(x)
         if not self.ret_before_act:
             x = nn.relu(x)
@@ -45,7 +45,7 @@ class MCGBlock(nn.Module):
     def __call__(self, tokens, context, mask):
         # tokens [..., S, D], context [..., D], mask [..., S] bool
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="dense")(tokens)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.relu(x)
         x = x * context[..., None, :]
         x = jnp.where(mask[..., None], x, -1e9)

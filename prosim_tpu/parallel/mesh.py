@@ -51,8 +51,12 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
                 process_id=process_id,
                 **kwargs,
             )
-        except RuntimeError:
-            pass  # already initialized
+        except RuntimeError as e:
+            # Only tolerate re-initialization; a failed rendezvous (bad
+            # coordinator, timeout) must NOT degrade into N independent runs
+            # that all think they are process 0.
+            if "already initialized" not in str(e).lower():
+                raise
     return jax.process_count()
 
 

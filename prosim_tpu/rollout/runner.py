@@ -74,7 +74,17 @@ def run_rollout_eval(
         if skip_existing and os.path.exists(out_npz):
             # resume: outputs are idempotent, a finished scene needs no rework
             # (the reference resumes via its touch-file locks,
-            # distributed_utils.py:151-158)
+            # distributed_utils.py:151-158). Reload its metrics so the final
+            # aggregate still covers previously-completed scenes.
+            if compute_metrics:
+                mpath = os.path.join(
+                    out_dir, f"{env}__{scene_name}.metrics.json"
+                )
+                if os.path.exists(mpath):
+                    import json
+
+                    with open(mpath) as f:
+                        all_metrics.append(json.load(f))
             continue
         try:
             _rollout_one_scene(
@@ -108,6 +118,28 @@ def run_rollout_eval(
         print(f"[worker {worker_id}] {failures} scene(s) failed and were "
               "skipped", flush=True)
     return out_dir
+
+
+def _world_lane_segments(scene, max_segments: int = 8192):
+    """World-frame lane-center segments for the map-based metric fallback
+    (official metrics use true road edges; the trajdata cache carries lane
+    centerlines)."""
+    if scene.map is None or not scene.map.lanes:
+        return None
+    starts, ends = [], []
+    for lane in scene.map.lanes:
+        c = np.asarray(lane.center)
+        if len(c) >= 2:
+            starts.append(c[:-1])
+            ends.append(c[1:])
+    if not starts:
+        return None
+    a = np.concatenate(starts).astype(np.float32)
+    b = np.concatenate(ends).astype(np.float32)
+    if len(a) > max_segments:
+        stride = int(np.ceil(len(a) / max_segments))
+        a, b = a[::stride], b[::stride]
+    return a, b
 
 
 def _rollout_one_scene(ds, idx, env, scene_name, ts, roll, params, m, sub,
@@ -159,7 +191,10 @@ def _rollout_one_scene(ds, idx, env, scene_name, ts, roll, params, m, sub,
         )
         extents = np.nan_to_num(scene.extents[rows])
         valid = scene.valid[rows, ts + 1 : ts + 1 + world_np.shape[2]]
-        metrics = scenario_metrics(world_np, log_xyh, extents, valid=valid)
+        metrics = scenario_metrics(
+            world_np, log_xyh, extents,
+            road_segments=_world_lane_segments(scene), valid=valid,
+        )
         import json
 
         with open(os.path.join(out_dir, f"{env}__{scene_name}.metrics.json"), "w") as f:

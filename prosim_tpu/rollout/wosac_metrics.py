@@ -1,41 +1,87 @@
-"""Native WOSAC-style realism metrics.
+"""WOSAC realism metrics, official metametric structure, dependency-free.
 
 The reference computes Waymo Sim Agents Challenge metrics through the
 waymo-open-dataset TF/C++ ops (reference: prosim/rollout/distributed_utils.py:205-223,
-waymo_utils.py:59-103). This module is a self-contained numpy implementation
-of the same metric *structure* (Montali et al., "The Waymo Open Sim Agents
-Challenge", 2023): per-feature histogram likelihood of the LOGGED future
-under the distribution induced by the M simulated joint futures, aggregated
-into kinematic / interactive / map-based groups and a weighted composite.
+callbacks.py:234-239 loads `challenge_config.textproto`, waymo_utils.py:59-103).
+This module reproduces the challenge's metric STRUCTURE faithfully in numpy
+(Montali et al., "The Waymo Open Sim Agents Challenge", NeurIPS 2023):
 
-Use the official package for leaderboard numbers; this implementation gives
-fast, dependency-free, directionally-consistent scores for training-time
-eval and ablation (validated to rank logged-replay >> noise rollouts).
+  * per evaluated object, the distribution of each feature is estimated from
+    the M simulated joint futures - a histogram with additive smoothing, or a
+    Bernoulli (2-bin) estimate for indicator features;
+  * with `independent_timesteps` the per-timestep simulated samples are
+    pooled into one distribution and every valid logged timestep is scored;
+    indicator features aggregate per-rollout (was the object EVER in
+    collision / offroad in this rollout) and score the single logged outcome;
+  * the feature score is exp(mean log-likelihood of the logged future);
+  * the metametric is the weighted sum of feature scores; kinematic /
+    interactive / map-based group means are reported alongside.
 
-Feature set (per object, per simulated step):
-  kinematic    linear speed, linear accel, angular speed, angular accel
-  interactive  distance to nearest object, collision indicator, TTC
-  map-based    distance to road edge (centerline fallback), offroad indicator
+Feature definitions follow the official `sim_agents_metrics` package:
+  linear speed/accel, angular speed/accel     one-step finite differences
+  distance to nearest object                  exact oriented-box distance
+  collision indication                        any box overlap per rollout
+  time-to-collision                           corridor leader, gap / closing
+  distance to road edge + offroad             signed distance when oriented
+                                              road edges exist; lane-center
+                                              margin fallback otherwise
+
+`CHALLENGE_CONFIG` carries a best-effort transcription of the published
+challenge config (ranges from the WOSAC paper; weights kinematic 4 x 0.05,
+distance/TTC/road-distance 0.11, collision/offroad 0.22, normalized). For
+leaderboard-exact constants, point `load_challenge_config_textproto` at the
+official `challenge_config.textproto` (waymo-open-dataset package) - the
+parser needs no protobuf dependency.
 """
 
 import dataclasses
-from typing import Dict, List, Optional
+import math
+import re
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 DT = 0.1
+MAX_TTC = 5.0
 
-# histogram configs: (min, max, bins); mirror the published value ranges
-FEATURE_CONFIG = {
-    "linear_speed": (0.0, 30.0, 30),
-    "linear_acceleration": (-10.0, 10.0, 40),
-    "angular_speed": (-3.0, 3.0, 30),
-    "angular_acceleration": (-10.0, 10.0, 40),
-    "distance_to_nearest_object": (0.0, 80.0, 40),
-    "collision_indication": None,   # bernoulli
-    "time_to_collision": (0.0, 10.0, 20),
-    "distance_to_road_edge": (0.0, 20.0, 20),
-    "offroad_indication": None,     # bernoulli
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    estimator: str                 # 'histogram' | 'bernoulli'
+    min_val: float = 0.0
+    max_val: float = 1.0
+    num_bins: int = 10
+    additive_smoothing_pseudocount: float = 0.001
+    independent_timesteps: bool = True
+    metametric_weight: float = 0.0
+
+
+CHALLENGE_CONFIG: Dict[str, FeatureConfig] = {
+    "linear_speed": FeatureConfig(
+        "histogram", 0.0, 30.0, 60, independent_timesteps=True,
+        metametric_weight=0.05),
+    "linear_acceleration": FeatureConfig(
+        "histogram", -10.0, 10.0, 40, independent_timesteps=True,
+        metametric_weight=0.05),
+    "angular_speed": FeatureConfig(
+        "histogram", -math.pi, math.pi, 60, independent_timesteps=True,
+        metametric_weight=0.05),
+    "angular_acceleration": FeatureConfig(
+        "histogram", -4 * math.pi, 4 * math.pi, 60, independent_timesteps=True,
+        metametric_weight=0.05),
+    "distance_to_nearest_object": FeatureConfig(
+        "histogram", -10.0, 80.0, 90, independent_timesteps=True,
+        metametric_weight=0.11),
+    "collision_indication": FeatureConfig(
+        "bernoulli", independent_timesteps=False, metametric_weight=0.22),
+    "time_to_collision": FeatureConfig(
+        "histogram", 0.0, MAX_TTC, 25, independent_timesteps=True,
+        metametric_weight=0.11),
+    "distance_to_road_edge": FeatureConfig(
+        "histogram", -20.0, 20.0, 80, independent_timesteps=True,
+        metametric_weight=0.11),
+    "offroad_indication": FeatureConfig(
+        "bernoulli", independent_timesteps=False, metametric_weight=0.22),
 }
 
 GROUPS = {
@@ -46,141 +92,302 @@ GROUPS = {
     "map_based": ["distance_to_road_edge", "offroad_indication"],
 }
 
-# composite weights follow the challenge metametric proportions
-GROUP_WEIGHTS = {"kinematic": 0.2, "interactive": 0.5, "map_based": 0.3}
+
+def load_challenge_config_textproto(path: str) -> Dict[str, FeatureConfig]:
+    """Parse the official `challenge_config.textproto` (SimAgentMetricsConfig)
+    into FeatureConfig entries. Text-level parse - no protobuf dependency."""
+    with open(path) as f:
+        text = f.read()
+
+    out = {}
+    for name in CHALLENGE_CONFIG:
+        m = re.search(rf"{name}\s*{{(.*?)\n}}", text, re.S)
+        if not m:
+            continue
+        block = m.group(1)
+
+        def num(field, default):
+            mm = re.search(rf"{field}\s*:\s*([-0-9.eE]+)", block)
+            return float(mm.group(1)) if mm else default
+
+        est = "bernoulli" if "bernoulli" in block else "histogram"
+        out[name] = FeatureConfig(
+            estimator=est,
+            min_val=num("min_val", 0.0),
+            max_val=num("max_val", 1.0),
+            num_bins=int(num("num_bins", 10)),
+            additive_smoothing_pseudocount=num(
+                "additive_smoothing_pseudocount", 0.001),
+            independent_timesteps="independent_timesteps: true" in block,
+            metametric_weight=num("metametric_weight", 0.0),
+        )
+    return out
 
 
-def _speed(xy):
-    v = np.diff(xy, axis=-2) / DT
-    return np.linalg.norm(v, axis=-1)  # [.., T-1]
+# ------------------------------------------------------------------ features
 
-
-def _heading_rate(h):
-    dh = np.diff(np.unwrap(h, axis=-1), axis=-1) / DT
-    return dh
-
-
-def extract_features(xyh, extents, road_segments=None) -> Dict[str, np.ndarray]:
-    """xyh [N, T, 3] one joint future; extents [N, 2].
-
-    Returns feature arrays [N, T'] (per object per step)."""
+def _kinematics(xyh: np.ndarray) -> Dict[str, np.ndarray]:
+    """xyh [..., T, 3] -> per-step features [..., T] with NaN padding at the
+    differencing boundary (official kinematics_features convention)."""
     xy, h = xyh[..., :2], xyh[..., 2]
-    N, T = h.shape
+    nan = np.full(h.shape[:-1] + (1,), np.nan)
 
-    feats = {}
-    sp = _speed(xy)
-    feats["linear_speed"] = sp
-    feats["linear_acceleration"] = np.diff(sp, axis=-1) / DT
-    w = _heading_rate(h)
-    feats["angular_speed"] = w
-    feats["angular_acceleration"] = np.diff(w, axis=-1) / DT
+    speed = np.linalg.norm(np.diff(xy, axis=-2), axis=-1) / DT  # [..., T-1]
+    lin_speed = np.concatenate([nan, speed], axis=-1)
+    lin_acc = np.concatenate([nan, np.diff(lin_speed, axis=-1) / DT], axis=-1)
 
-    # pairwise distances (center-to-center minus radii approximation)
-    d = np.linalg.norm(xy[:, None] - xy[None, :], axis=-1)  # [N, N, T]
-    radii = np.linalg.norm(extents, axis=-1) / 2
-    rsum = radii[:, None] + radii[None, :]
-    gap = d - rsum[..., None]
-    eye = np.eye(N, dtype=bool)
-    gap[eye] = np.inf
-    nearest = gap.min(axis=1)  # [N, T]
-    feats["distance_to_nearest_object"] = np.clip(nearest, 0.0, None)
-    feats["collision_indication"] = (nearest < 0).any(axis=-1, keepdims=True).astype(float)
+    dh = np.diff(np.unwrap(h, axis=-1), axis=-1) / DT
+    ang_speed = np.concatenate([nan, dh], axis=-1)
+    ang_acc = np.concatenate([nan, np.diff(ang_speed, axis=-1) / DT], axis=-1)
+    return {
+        "linear_speed": lin_speed,
+        "linear_acceleration": lin_acc,
+        "angular_speed": ang_speed,
+        "angular_acceleration": ang_acc,
+    }
 
-    # time-to-collision: gap / closing speed along the pair line (simplified:
-    # nearest gap / own speed)
-    own_sp = np.concatenate([sp, sp[:, -1:]], axis=-1)
-    feats["time_to_collision"] = np.clip(
-        nearest / np.clip(own_sp, 0.3, None), 0.0, 10.0
+
+def _box_corners(xy, h, extents):
+    """xy [..., 2], h [...], extents [..., 2] -> [..., 4, 2]."""
+    l, w = extents[..., 0] / 2, extents[..., 1] / 2
+    lx = np.stack([l, l, -l, -l], -1)
+    wy = np.stack([w, -w, -w, w], -1)
+    c, s = np.cos(h)[..., None], np.sin(h)[..., None]
+    return np.stack(
+        [xy[..., 0:1] + lx * c - wy * s, xy[..., 1:2] + lx * s + wy * c], -1
     )
 
-    if road_segments is not None:
-        a, b = road_segments  # [E, 2], [E, 2]
-        ab = b - a
-        L2 = np.clip((ab * ab).sum(-1), 1e-9, None)
-        q = xy.reshape(-1, 1, 2)
-        t = np.clip(((q - a) * ab).sum(-1) / L2, 0, 1)
-        proj = a + t[..., None] * ab
-        dmin = np.linalg.norm(q - proj, axis=-1).min(-1).reshape(N, T)
-        feats["distance_to_road_edge"] = dmin
-        feats["offroad_indication"] = (dmin > 3.0).any(axis=-1, keepdims=True).astype(float)
+
+def _point_segment_dist(p, a, b):
+    """p [..., P, 2] points, a/b [..., E, 2] segments -> [..., P] min dist."""
+    ab = b - a
+    L2 = np.clip((ab * ab).sum(-1), 1e-9, None)
+    q = p[..., :, None, :]
+    t = np.clip(((q - a[..., None, :, :]) * ab[..., None, :, :]).sum(-1) / L2[..., None, :], 0, 1)
+    proj = a[..., None, :, :] + t[..., None] * ab[..., None, :, :]
+    return np.linalg.norm(q - proj, axis=-1).min(-1)
+
+
+def _pair_box_distance(xy, h, extents):
+    """Exact signed distance between every agent pair's oriented boxes.
+
+    xy [N, T, 2], h [N, T], extents [N, 2] -> [N, N, T]; negative =
+    penetration (SAT depth, exact for convex boxes), positive = separation
+    (min corner-to-edge distance, exact for convex polygons)."""
+    N, T = h.shape
+    corners = _box_corners(xy, h, extents[:, None, :])  # [N, T, 4, 2]
+
+    # SAT over the 4 face axes of each pair
+    axes_c = np.stack([np.cos(h), np.sin(h)], -1)       # [N, T, 2]
+    axes_s = np.stack([-np.sin(h), np.cos(h)], -1)
+    d = xy[None, :] - xy[:, None]                       # [N, N, T, 2]
+    seps = []
+    for ax_owner in (0, 1):
+        for ax in (axes_c, axes_s):
+            a = ax[:, None] if ax_owner == 0 else ax[None, :]  # [N, N(b), T, 2]
+            a = np.broadcast_to(a, d.shape)
+            center = np.abs((d * a).sum(-1))
+            ra = (
+                np.abs((axes_c[:, None] * a).sum(-1)) * extents[:, None, None, 0] / 2
+                + np.abs((axes_s[:, None] * a).sum(-1)) * extents[:, None, None, 1] / 2
+            )
+            rb = (
+                np.abs((axes_c[None, :] * a).sum(-1)) * extents[None, :, None, 0] / 2
+                + np.abs((axes_s[None, :] * a).sum(-1)) * extents[None, :, None, 1] / 2
+            )
+            seps.append(center - ra - rb)
+    sat = np.stack(seps, -1).max(-1)  # [N, N, T]; >0 => separated
+
+    # exact separation distance: min corner(A)-edge(B) / corner(B)-edge(A)
+    # computed only pairwise-cheaply: corners [N, T, 4, 2]
+    full = (N, N, T, 4, 2)
+    ca = np.broadcast_to(corners[:, None], full)         # A corners per pair
+    cb = np.broadcast_to(corners[None, :], full)
+    eb_a = cb                                            # B edge starts
+    eb_b = np.roll(cb, -1, axis=-2)
+    d_ab = _point_segment_dist(
+        ca.reshape(-1, 4, 2), eb_a.reshape(-1, 4, 2), eb_b.reshape(-1, 4, 2)
+    ).reshape(N, N, T, 4).min(-1)
+    ea_a = ca
+    ea_b = np.roll(ca, -1, axis=-2)
+    d_ba = _point_segment_dist(
+        cb.reshape(-1, 4, 2), ea_a.reshape(-1, 4, 2), ea_b.reshape(-1, 4, 2)
+    ).reshape(N, N, T, 4).min(-1)
+    sep = np.minimum(d_ab, d_ba)
+
+    return np.where(sat > 0, sep, sat)
+
+
+def _time_to_collision(xy, h, extents, speed):
+    """Corridor-leader TTC (official interaction_features semantics): for
+    each agent, the nearest object ahead within a lateral corridor; TTC =
+    longitudinal gap / closing speed when closing, else MAX_TTC.
+
+    xy [N, T, 2], h [N, T], extents [N, 2], speed [N, T] -> [N, T]."""
+    N, T = h.shape
+    c, s = np.cos(h), np.sin(h)
+    rel = xy[None, :] - xy[:, None]                     # [ego, other, T, 2]
+    lon = rel[..., 0] * c[:, None] + rel[..., 1] * s[:, None]
+    lat = -rel[..., 0] * s[:, None] + rel[..., 1] * c[:, None]
+
+    half_len = extents[:, 0] / 2
+    corridor = (extents[:, None, 1] + extents[None, :, 1]) / 2  # [ego, other]
+    ahead = (lon > 0) & (np.abs(lat) < corridor[..., None])
+    eye = np.eye(N, dtype=bool)[..., None]
+    ahead &= ~eye
+
+    gap = lon - half_len[:, None, None] - half_len[None, :, None]
+    closing = speed[:, None] - speed[None, :]           # [ego, other, T]
+    ttc = np.where(
+        ahead & (closing > 0.1) & (gap > 0), gap / np.clip(closing, 0.1, None),
+        np.inf,
+    )
+    ttc = np.where(ahead & (gap <= 0), 0.0, ttc)
+    return np.clip(ttc.min(axis=1), 0.0, MAX_TTC)
+
+
+def extract_features(
+    xyh: np.ndarray,               # [N, T, 3] one joint future (world frame)
+    extents: np.ndarray,           # [N, 2]
+    road_edges: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    road_edges_oriented: bool = False,
+    offroad_margin: float = 3.0,
+) -> Dict[str, np.ndarray]:
+    """Per-object features; [N, T] arrays (NaN where undefined), indicator
+    features [N, 1] per-rollout booleans."""
+    N, T = xyh.shape[:2]
+    feats = _kinematics(xyh)
+    speed = np.nan_to_num(feats["linear_speed"])
+
+    pd = _pair_box_distance(xyh[..., :2], xyh[..., 2], extents)
+    pd[np.eye(N, dtype=bool)] = np.inf
+    nearest = pd.min(axis=1)                            # [N, T]
+    feats["distance_to_nearest_object"] = nearest
+    feats["collision_indication"] = (nearest < 0).any(-1, keepdims=True).astype(float)
+
+    feats["time_to_collision"] = _time_to_collision(
+        xyh[..., :2], xyh[..., 2], extents, speed
+    )
+
+    if road_edges is not None:
+        a, b = road_edges
+        xy = xyh[..., :2]
+        if road_edges_oriented:
+            # signed distance to oriented road edges: positive = offroad
+            # (right of the edge direction, Waymo convention)
+            ab = b - a
+            L2 = np.clip((ab * ab).sum(-1), 1e-9, None)
+            q = xy.reshape(-1, 1, 2)
+            t = np.clip(((q - a) * ab).sum(-1) / L2, 0, 1)
+            proj = a + t[..., None] * ab
+            dist = np.linalg.norm(q - proj, axis=-1)
+            nearest_e = dist.argmin(-1)
+            dmin = dist[np.arange(len(dist)), nearest_e]
+            an, abn = a[nearest_e], ab[nearest_e]
+            off = q[:, 0] - an
+            cross = abn[:, 0] * off[:, 1] - abn[:, 1] * off[:, 0]
+            signed = np.where(cross < 0, dmin, -dmin).reshape(N, T)
+            feats["distance_to_road_edge"] = signed
+            feats["offroad_indication"] = (signed > 0).any(-1, keepdims=True).astype(float)
+        else:
+            # lane-center fallback: distance to the nearest centerline minus
+            # the margin plays the signed road-edge role (positive = offroad)
+            dmin = _point_segment_dist(xy.reshape(1, -1, 2), a[None], b[None])
+            signed = (dmin.reshape(N, T) - offroad_margin)
+            feats["distance_to_road_edge"] = signed
+            feats["offroad_indication"] = (signed > 0).any(-1, keepdims=True).astype(float)
     return feats
 
 
-def _histogram_loglik(sim_samples: np.ndarray, log_value: float, cfg) -> float:
-    """Log-likelihood of the logged value under a histogram fit to the
-    simulated samples (additive smoothing over the support)."""
-    lo, hi, bins = cfg
-    edges = np.linspace(lo, hi, bins + 1)
-    counts, _ = np.histogram(np.clip(sim_samples, lo, hi), bins=edges)
-    probs = (counts + 0.1) / (counts.sum() + 0.1 * bins)
-    idx = np.clip(np.searchsorted(edges, np.clip(log_value, lo, hi)) - 1, 0, bins - 1)
-    return float(np.log(probs[idx]))
+# ---------------------------------------------------------------- likelihood
+
+def _histogram_logliks(sim: np.ndarray, log_vals: np.ndarray,
+                       cfg: FeatureConfig) -> np.ndarray:
+    """Log-likelihood of each logged value under the histogram estimated from
+    the simulated samples (additive smoothing, official estimator)."""
+    edges = np.linspace(cfg.min_val, cfg.max_val, cfg.num_bins + 1)
+    counts, _ = np.histogram(np.clip(sim, cfg.min_val, cfg.max_val), bins=edges)
+    pc = cfg.additive_smoothing_pseudocount
+    probs = (counts + pc) / (counts.sum() + pc * cfg.num_bins)
+    idx = np.clip(
+        np.searchsorted(edges, np.clip(log_vals, cfg.min_val, cfg.max_val),
+                        side="right") - 1,
+        0, cfg.num_bins - 1,
+    )
+    return np.log(probs[idx])
 
 
-def _bernoulli_loglik(sim_samples: np.ndarray, log_value: float) -> float:
-    p = float(np.clip(sim_samples.mean(), 0.02, 0.98))
-    return float(np.log(p if log_value > 0.5 else 1 - p))
+def _bernoulli_logliks(sim: np.ndarray, log_vals: np.ndarray,
+                      cfg: FeatureConfig) -> np.ndarray:
+    """Bernoulli = 2-bin histogram with additive smoothing."""
+    pc = cfg.additive_smoothing_pseudocount
+    n = sim.size
+    p_true = (float((sim > 0.5).sum()) + pc) / (n + 2 * pc)
+    p = np.where(log_vals > 0.5, p_true, 1.0 - p_true)
+    return np.log(p)
 
 
 def scenario_metrics(
     sim_xyh: np.ndarray,      # [M, N, T, 3] simulated joint futures (world)
     log_xyh: np.ndarray,      # [N, T, 3] logged future (world)
     extents: np.ndarray,      # [N, 2]
-    road_segments=None,       # optional ([E,2], [E,2]) world road segments
-    valid: Optional[np.ndarray] = None,  # [N, T] logged validity
+    road_segments=None,       # optional ([E, 2], [E, 2]) world segments
+    road_edges_oriented: bool = False,
+    valid: Optional[np.ndarray] = None,   # [N, T] logged validity
+    config: Optional[Dict[str, FeatureConfig]] = None,
 ) -> Dict[str, float]:
-    """Composite realism score for one scenario (higher = more realistic)."""
+    """Official-structure realism metrics for one scenario.
+
+    Returns feature scores (exp mean log-likelihood), group means, and the
+    weighted `metametric` composite."""
+    cfgs = config or CHALLENGE_CONFIG
     M, N, T, _ = sim_xyh.shape
-    sim_feats = [extract_features(sim_xyh[m], extents, road_segments) for m in range(M)]
-    log_feats = extract_features(log_xyh, extents, road_segments)
+
+    kw = dict(road_edges=road_segments,
+              road_edges_oriented=road_edges_oriented)
+    sim_feats = [extract_features(sim_xyh[m], extents, **kw) for m in range(M)]
+    log_feats = extract_features(log_xyh, extents, **kw)
+
+    obj_valid = valid.any(-1) if valid is not None else np.ones(N, bool)
 
     scores: Dict[str, float] = {}
-    for name, cfg in FEATURE_CONFIG.items():
+    for name, cfg in cfgs.items():
         if name not in log_feats:
             continue
         logliks = []
-        lf = log_feats[name]
-        Tn = lf.shape[-1]
         for n in range(N):
-            if valid is not None and not valid[n].any():
+            if not obj_valid[n]:
                 continue
             sim_vals = np.concatenate([sf[name][n] for sf in sim_feats])
             sim_vals = sim_vals[np.isfinite(sim_vals)]
             if sim_vals.size == 0:
                 continue
-            log_vals = lf[n][np.isfinite(lf[n])]
-            for v in log_vals[:: max(1, Tn // 8)]:  # subsample time
-                if cfg is None:
-                    logliks.append(_bernoulli_loglik(sim_vals, v))
-                else:
-                    logliks.append(_histogram_loglik(sim_vals, v, cfg))
+            lv = log_feats[name][n]
+            if cfg.independent_timesteps and valid is not None and lv.shape[0] == T:
+                lv = lv[valid[n]]
+            lv = lv[np.isfinite(lv)]
+            if lv.size == 0:
+                continue
+            if cfg.estimator == "bernoulli":
+                logliks.append(_bernoulli_logliks(sim_vals, lv, cfg))
+            else:
+                logliks.append(_histogram_logliks(sim_vals, lv, cfg))
         if logliks:
-            # map mean log-likelihood into (0, 1]; normalize by the uniform
-            # baseline so 'uninformative' sims score near exp(-1)-ish
-            scores[name] = float(min(1.0, np.exp(np.mean(logliks) - _max_loglik(cfg))))
+            scores[name] = float(np.exp(np.mean(np.concatenate(logliks))))
 
-    out = {}
-    comp = 0.0
-    wsum = 0.0
+    out = {f"feature/{k}": v for k, v in scores.items()}
     for group, names in GROUPS.items():
         vals = [scores[n] for n in names if n in scores]
-        if not vals:
-            continue
-        g = float(np.mean(vals))
-        out[group] = g
-        comp += GROUP_WEIGHTS[group] * g
-        wsum += GROUP_WEIGHTS[group]
-    out["composite"] = comp / wsum if wsum else 0.0
-    out.update({f"feature/{k}": v for k, v in scores.items()})
+        if vals:
+            out[group] = float(np.mean(vals))
+
+    wsum = sum(cfgs[n].metametric_weight for n in scores)
+    if wsum > 0:
+        out["metametric"] = float(
+            sum(cfgs[n].metametric_weight * s for n, s in scores.items()) / wsum
+        )
+        out["composite"] = out["metametric"]  # back-compat alias
     return out
-
-
-def _max_loglik(cfg) -> float:
-    """Log-likelihood of a perfectly-concentrated histogram (normalizer)."""
-    if cfg is None:
-        return float(np.log(0.98))
-    _, _, bins = cfg
-    return float(np.log((1.0 + 0.1) / (1.0 + 0.1 * bins)))
 
 
 def aggregate_scenarios(per_scene: List[Dict[str, float]]) -> Dict[str, float]:

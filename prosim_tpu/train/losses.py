@@ -107,6 +107,15 @@ def step_loss_k_way(tgt, tgt_valid, pred, prob, config):
     crit = _criterion(config)
     K = pred.shape[-3]
 
+    gmm = None
+    if config.MODEL.POLICY.ACT_DECODER.TRAJ.PRED_GMM and (
+        pred.shape[-1] == tgt.shape[-1] + 3
+    ):
+        # PRED_GMM columns [x, y, h, log_std1, log_std2, rho, (xd, yd)]
+        # (reference: loss_func.py:137-149)
+        gmm = pred[..., 3:6]
+        pred = jnp.concatenate([pred[..., :3], pred[..., 6:]], axis=-1)
+
     t_mask = tgt_valid.all(-1)  # [*, S]
     idx_range = jnp.arange(t_mask.shape[-1])
     last_valid = jnp.max(jnp.where(t_mask, idx_range, -1), axis=-1)  # [*]
@@ -122,8 +131,17 @@ def step_loss_k_way(tgt, tgt_valid, pred, prob, config):
     best = jnp.squeeze(best, axis=-3)  # [*, S, Dp]
 
     pos_mask = tgt_valid[..., :2]
-    pos = jnp.where(pos_mask, crit(tgt[..., :2], best[..., :2]), 0.0)
-    pos_l = pos.sum() / jnp.clip(pos_mask.sum(), 1, None) * 2
+    if gmm is not None:
+        # bivariate NLL position term (reference: loss_func.py:146-149)
+        best_gmm = jnp.take_along_axis(
+            gmm, min_idx[..., None, None, None], axis=-3
+        )[..., 0, :, :]
+        nll = gmm_nll(tgt[..., :2], best[..., :2], best_gmm)  # [*, S]
+        m2 = pos_mask.all(-1)
+        pos_l = jnp.where(m2, nll, 0.0).sum() / jnp.clip(m2.sum(), 1, None)
+    else:
+        pos = jnp.where(pos_mask, crit(tgt[..., :2], best[..., :2]), 0.0)
+        pos_l = pos.sum() / jnp.clip(pos_mask.sum(), 1, None) * 2
 
     tgt_h = jnp.stack([jnp.sin(tgt[..., 2]), jnp.cos(tgt[..., 2])], axis=-1)
     pred_h = jnp.stack([jnp.sin(best[..., 2]), jnp.cos(best[..., 2])], axis=-1)
@@ -176,16 +194,30 @@ def paired_mse_k(batch, output, config) -> Dict[str, jnp.ndarray]:
         k_sel = jnp.argmax(prob, axis=-1)  # [B, N, T]
         pred_sel = jnp.take_along_axis(
             pred, k_sel[..., None, None, None], axis=3
-        )[:, :, :, 0]  # [B, N, T, S, D]
+        )[:, :, :, 0]  # [B, N, T, S, Dp]
+
+        B, N, T = pair_mask.shape
+        gmm_params = None
+        if config.MODEL.POLICY.ACT_DECODER.TRAJ.PRED_GMM:
+            # motion_pred columns under PRED_GMM: [x, y, h, log_std1,
+            # log_std2, rho, (xd, yd)] - gmm params feed the bivariate NLL
+            # position term, vel moves to columns 6:8
+            # (reference: loss_func.py:250-326 rollout_temp_traj_preds)
+            gmm_params = pred_sel[..., :rollout_steps, 3:6].reshape(B, N, -1, 3)
+            traj_cols = [pred_sel[..., :3]]
+            if tgt.shape[-1] == 5:
+                traj_cols.append(pred_sel[..., 6:8])
+            pred_sel = jnp.concatenate(traj_cols, axis=-1)
         pred_sel = jnp.where(tgt_valid, pred_sel, 0.0)
 
         tgt_rt = rollout_traj(tgt, rollout_steps)
         pred_rt = rollout_traj(pred_sel, rollout_steps)
 
-        B, N, T = pair_mask.shape
         step_valid = tgt_valid[..., :rollout_steps, :2].all(-1).reshape(B, N, -1)
 
-        rloss, per_agent = compute_rollout_loss(tgt_rt, pred_rt, step_valid, config)
+        rloss, per_agent = compute_rollout_loss(
+            tgt_rt, pred_rt, step_valid, config, gmm_params=gmm_params
+        )
         results["rollout_pos_loss"] = rloss["pos"]
         results["rollout_head_loss"] = rloss["heading"]
         r_total = rloss["pos"] + rloss["heading"] * config.LOSS.ROLLOUT_TRAJ.HEAD_WEIGHT

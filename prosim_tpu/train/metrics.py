@@ -68,6 +68,11 @@ def pair_traj_pred_update(batch, output, config) -> Dict[str, Tuple[jnp.ndarray,
     rollout_steps = config.ROLLOUT.POLICY.REPLAN_FREQ
     k_sel = jnp.argmax(prob, axis=-1)
     pred_sel = jnp.take_along_axis(pred, k_sel[..., None, None, None], axis=3)[:, :, :, 0]
+    if pred_sel.shape[-1] == tgt.shape[-1] + 3:
+        # PRED_GMM layout [x, y, h, gmm(3), vel?] - drop the gmm columns
+        pred_sel = jnp.concatenate(
+            [pred_sel[..., :3], pred_sel[..., 6:]], axis=-1
+        )
     pred_sel = jnp.where(tgt_valid, pred_sel, 0.0)
     tgt_rt = rollout_traj(tgt, rollout_steps)
     pred_rt = rollout_traj(pred_sel, rollout_steps)

@@ -41,6 +41,7 @@ class Trainer:
         self.log_path = log_path or os.path.join(self.run_dir, "log.jsonl")
         self.step = 0
         self.best_loss = float("inf")
+        self._rng = None  # training rng, persisted across save/restore
 
         self.params = None
         self.opt_state = None
@@ -62,18 +63,25 @@ class Trainer:
         )
         self._eval_step = jax.jit(make_eval_step(self.model, self.config))
 
-        if self.config.LOAD_CHECKPOINT_MODEL and self.config.LOAD_CHECKPOINT_PATH:
-            self.load_checkpoint(self.config.LOAD_CHECKPOINT_PATH)
+        if self.config.LOAD_CHECKPOINT_PATH and (
+            self.config.LOAD_CHECKPOINT_MODEL or self.config.LOAD_CHECKPOINT_TRAINER
+        ):
+            self.load_checkpoint(
+                self.config.LOAD_CHECKPOINT_PATH,
+                trainer_state=self.config.LOAD_CHECKPOINT_TRAINER,
+            )
 
     # ------------------------------------------------------------------ train
     def fit(self, train_batches: Iterator, val_batches=None,
             max_steps: Optional[int] = None):
-        rng = jax.random.PRNGKey(self.config.SEED + 1)
+        if self._rng is None:
+            self._rng = jax.random.PRNGKey(self.config.SEED + 1)
         t0 = time.time()
+        ckpt_every = max(1, self.config.CHECKPOINT_INTERVAL)
         for epoch in range(self.config.MAX_EPOCHES):
             for batch in train_batches() if callable(train_batches) else train_batches:
                 batch = shard_batch(batch, self.mesh)
-                rng, sub = jax.random.split(rng)
+                self._rng, sub = jax.random.split(self._rng)
                 self.params, self.opt_state, losses = self._train_step(
                     self.params, self.opt_state, batch, sub
                 )
@@ -89,9 +97,18 @@ class Trainer:
                         "train/grad_norm": float(losses["grad_norm"]),
                         "wall": time.time() - t0,
                     })
-                    if self.config.SAVE_CHECKPOINT and loss < self.best_loss:
+                    self._improved = loss < self.best_loss
+                    if self._improved:
                         self.best_loss = loss
+                # Periodic saves (reference: Lightning ModelCheckpoint
+                # save_last + top-1 by train/full_loss, trainer.py:248-256) -
+                # throttled to CHECKPOINT_INTERVAL so early training doesn't
+                # write orbax checkpoints near-continuously.
+                if self.config.SAVE_CHECKPOINT and self.step % ckpt_every == 0:
+                    self.save_checkpoint("last")
+                    if self._improved:
                         self.save_checkpoint("best")
+                        self._improved = False
                 if max_steps and self.step >= max_steps:
                     break
             if val_batches is not None and (epoch + 1) % self.config.VAL_INTERVAL == 0:
@@ -180,6 +197,7 @@ class Trainer:
         ):
             if i >= max_batches:
                 break
+            batch = shard_batch(batch, self.mesh)
             rng, sub = jax.random.split(rng)
             metrics = self._rollout_fn(self.params, batch, sub)
             acc.append({k: float(v) for k, v in metrics.items()})
@@ -192,6 +210,7 @@ class Trainer:
 
     _rollout_fn = None
     _rollout_m = None
+    _improved = False
 
     def evaluate_cond_sets(self, cache_dir, split="val", batch_size=None):
         """One eval pass per PROMPT.CONDITION.EVAL_COND_SETS entry, each with
@@ -251,36 +270,50 @@ class Trainer:
 
         return walk(params, False)
 
+    def _trainer_state(self):
+        """Full resumable state: params (frozen LLM stripped) + optimizer
+        state + step + best loss + training rng (reference Lightning ckpt
+        carries optimizer/scheduler state for LOAD_CHECKPOINT_TRAINER resume,
+        trainer.py:305-311)."""
+        if self._rng is None:
+            self._rng = jax.random.PRNGKey(self.config.SEED + 1)
+        return {
+            "params": self._strip_frozen_llm(
+                jax.tree.map(np.asarray, self.params)
+            ),
+            "opt_state": jax.tree.map(np.asarray, self.opt_state),
+            "step": self.step,
+            "best_loss": np.asarray(self.best_loss, np.float32),
+            "rng": np.asarray(self._rng),
+        }
+
     def save_checkpoint(self, tag: str):
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(self.run_dir, f"ckpt_{tag}"))
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(
-            path,
-            {
-                "params": self._strip_frozen_llm(
-                    jax.tree.map(np.asarray, self.params)
-                ),
-                "step": self.step,
-            },
-            force=True,
-        )
+        ckptr.save(path, self._trainer_state(), force=True)
         ckptr.wait_until_finished()
 
-    def load_checkpoint(self, path: str):
+    def load_checkpoint(self, path: str, trainer_state: bool = False):
         """Non-strict restore (reference: models/base.py:141-147): leaves
         absent from the checkpoint (the stripped frozen LLM body) keep their
-        current values."""
+        current values. With trainer_state=True (LOAD_CHECKPOINT_TRAINER),
+        also restores optimizer state, step, best loss, and the training rng
+        so a resumed run continues the interrupted one exactly."""
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
         current = jax.tree.map(np.asarray, self.params)
-        target = {
-            "params": self._strip_frozen_llm(current),
-            "step": 0,
-        }
-        restored = ckptr.restore(os.path.abspath(path), target)
+        target = self._trainer_state()
+        try:
+            restored = ckptr.restore(os.path.abspath(path), target)
+        except Exception:
+            # legacy round-1 checkpoints carried params+step only
+            restored = ckptr.restore(
+                os.path.abspath(path),
+                {"params": target["params"], "step": 0},
+            )
 
         def merge(cur, res):
             if not isinstance(cur, dict):
@@ -292,6 +325,10 @@ class Trainer:
         merged = merge(current, restored["params"])
         self.params = replicate(merged, self.mesh)
         self.step = int(restored["step"])
+        if trainer_state and "opt_state" in restored:
+            self.opt_state = replicate(restored["opt_state"], self.mesh)
+            self.best_loss = float(restored["best_loss"])
+            self._rng = jnp.asarray(restored["rng"])
 
     # -------------------------------------------------------------- profiling
     def profile(self, batch, steps: int = 3, out_dir: Optional[str] = None):

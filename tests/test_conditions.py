@@ -139,13 +139,13 @@ def test_caption_funcs():
     from prosim_tpu.data.captions import batch_caption
 
     v_tag = Condition(
-        feat=jnp.asarray([[[0.0, 10, 40], [3.0, 0, 80]]]),   # Accelerate, Stopping
+        feat=jnp.asarray([[[1.0, 10, 40], [0.0, 0, 80]]]),   # Accelerate, Stopping
         mask=jnp.asarray([[True, True]]),
         prompt_idx=jnp.asarray([[[2], [5]]], jnp.int32),
         prompt_mask=jnp.ones((1, 8), bool),
     )
     v2v = Condition(
-        feat=jnp.asarray([[[1.0, 0, 30]]]),                  # Yield
+        feat=jnp.asarray([[[1.0, 0, 30]]]),                  # ParallelDriving
         mask=jnp.asarray([[True]]),
         prompt_idx=jnp.asarray([[[1, 4]]], jnp.int32),
         prompt_mask=jnp.ones((1, 8), bool),
@@ -161,7 +161,7 @@ def test_caption_funcs():
     )
     assert "Accelerate(<A2>: 10-40)" in cap
     assert "Stopping(<A5>: 0-80)" in cap
-    assert "Yield(<A1>, <A4>: 0-30)" in cap
+    assert "ParallelDriving(<A1>, <A4>: 0-30)" in cap
     assert "Let <A2> speed up." in cap
 
 
@@ -251,3 +251,144 @@ def test_one_text_placeholder_ablation():
     text = bytes(int(t) for t, m in zip(ids, mask_t) if m and 9 < t < 127)
     s = text.decode("utf-8", "replace")
     assert "is there." in s
+
+
+def test_derive_v2v_tags_synthetic():
+    """Binary pair tags from pairwise geometry (reference vocab:
+    motion_tag_utils.py:17-22)."""
+    from prosim_tpu.data.motion_tags import derive_v2v_tags
+    from prosim_tpu.data.trajdata_cache import STATE_DIM, X, Y, VX, H
+
+    T, dt = 60, 0.1
+    t = np.arange(T) * dt
+    states = np.zeros((5, T, STATE_DIM))
+    valid = np.ones((5, T), bool)
+    # a0 leader: +x at 8 m/s
+    states[0, :, X] = 8.0 * t
+    states[0, :, VX] = 8.0
+    # a1 follower: 10 m behind, same speed
+    states[1, :, X] = 8.0 * t - 10.0
+    states[1, :, VX] = 8.0
+    # a2 parallel: one lane left of a0
+    states[2, :, X] = 8.0 * t
+    states[2, :, Y] = 4.0
+    states[2, :, VX] = 8.0
+    # a3 overtaker: starts 15 m behind at 14 m/s, half a lane left
+    states[3, :, X] = 14.0 * t - 15.0
+    states[3, :, Y] = 2.0
+    states[3, :, VX] = 14.0
+    # a4 stopped on the shoulder near a0's path
+    states[4, :, X] = 20.0
+    states[4, :, Y] = 2.0
+
+    names = [f"a{i}" for i in range(5)]
+    tags = derive_v2v_tags(states, valid, names, dt=dt)
+    pairs = {(tg.tag, tg.agents) for tg in tags}
+
+    assert ("Following", ("a1", "a0")) in pairs
+    assert ("ParallelDriving", ("a2", "a0")) in pairs
+    assert ("ParallelDriving", ("a0", "a2")) in pairs
+    assert ("Overtaking", ("a3", "a0")) in pairs
+    assert any(tg == "ByPassing" and ag[1] == "a4" for tg, ag in pairs)
+    # the leader is not following its follower
+    assert ("Following", ("a0", "a1")) not in pairs
+    for tg in tags:
+        assert tg.type == "binary"
+        s, e = tg.interval
+        assert 0 <= s <= e < T
+
+
+def test_v2v_generator_builds_pair_conditions():
+    """ConditionGenerator emits 2-wide prompt_idx rows for pair tags
+    (reference: condition_utils.py:317-364)."""
+    import os
+
+    CACHE = "/root/reference/demo_dataset/trajdata_cache"
+    if not os.path.isdir(CACHE):
+        pytest.skip("demo cache absent")
+    from prosim_tpu.data.dataset import ProSimImitationDataset
+
+    cfg = get_config(opts=[
+        "DATASET.FORMAT.PAD.NUM_LANES", "128",
+        "DATASET.FORMAT.MAP.MAX_POINTS", "128",
+        "DATASET.SOURCE.VAL", "['waymo_train']",
+        "PROMPT.CONDITION.TYPES", "['v2v_tag']",
+    ])
+    ds = ProSimImitationDataset(cfg, "val", CACHE)
+    b = ds.get_scene_batch(0)
+    assert "v2v_tag" in b.conditions
+    c = b.conditions["v2v_tag"]
+    assert c.prompt_idx.shape[-1] == 2
+    assert c.feat.shape[-1] == 3
+    m = np.asarray(c.mask)[0]
+    assert m.any(), "demo scene should produce at least one pair tag"
+    pidx = np.asarray(c.prompt_idx)[0][m]
+    N = b.prompt.mask.shape[1]
+    assert (pidx >= 0).all() and (pidx < N).all()
+    assert (pidx[:, 0] != pidx[:, 1]).all()
+    # prompt_mask covers exactly the pair members
+    pm = np.asarray(c.prompt_mask)[0]
+    assert pm[pidx.ravel()].all()
+
+
+def test_v2v_condition_changes_tagged_pair_rollout():
+    """Closed loop: changing a pair tag's id changes the tagged agents'
+    rollout - the condition actually flows through the GNN edge matrix into
+    the policy (reference: condition_attns.py:87-228)."""
+    import jax
+    import jax.numpy as jnp
+
+    from prosim_tpu.data.batch import Condition
+    from prosim_tpu.data.synthetic import make_synthetic_batch
+    from prosim_tpu.models.prosim import ProSim
+
+    cfg = get_config(opts=[
+        "MODEL.SCENE_ENCODER.ATTN.NUM_LAYER", "1",
+        "MODEL.DECODER.ATTN.NUM_LAYER", "1",
+        "MODEL.POLICY.ACT_DECODER.ATTN.NUM_LAYER", "1",
+        "MODEL.HIDDEN_DIM", "16",
+        "MODEL.SCENE_ENCODER.ATTN.FF_DIM", "2",
+        "MODEL.DECODER.ATTN.FF_DIM", "2",
+        "MODEL.POLICY.ACT_DECODER.ATTN.FF_DIM", "2",
+        "MODEL.SCENE_ENCODER.ATTN.MAX_NUM_NEIGH", "4",
+        "MODEL.DECODER.ATTN.MAX_NUM_NEIGH", "4",
+        "MODEL.POLICY.ACT_DECODER.ATTN.MAX_NUM_NEIGH", "4",
+        "PROMPT.CONDITION.TYPES", "['v2v_tag']",
+    ])
+    model = ProSim(cfg)
+    batch = make_synthetic_batch(
+        cfg, batch_size=1, num_lanes=8, num_obs_agents=6, num_agents=4,
+        num_replan=2,
+    )
+    C = cfg.DATASET.FORMAT.PAD.NUM_CONDS
+    # one Following tag on the pair (0, 1)
+    feat = np.zeros((1, C, 3), np.float32)
+    feat[0, 0] = [0, 0, 10]  # Following, frames 0-10
+    mask = np.zeros((1, C), bool)
+    mask[0, 0] = True
+    pidx = -np.ones((1, C, 2), np.int32)
+    pidx[0, 0] = [0, 1]
+    pmask = np.zeros((1, batch.prompt.mask.shape[1]), bool)
+    pmask[0, [0, 1]] = True
+    cond = Condition(
+        feat=jnp.asarray(feat), mask=jnp.asarray(mask),
+        prompt_idx=jnp.asarray(pidx), prompt_mask=jnp.asarray(pmask),
+    )
+    batch = batch.replace(conditions={"v2v_tag": cond})
+    params = model.init(jax.random.PRNGKey(0), batch)
+    out_follow = model.forward(params, batch, "val", jax.random.PRNGKey(1))
+
+    # same pair, different tag id (ByPassing)
+    feat2 = feat.copy()
+    feat2[0, 0, 0] = 3
+    batch2 = batch.replace(conditions={"v2v_tag": cond.replace(feat=jnp.asarray(feat2))})
+    out_bypass = model.forward(params, batch2, "val", jax.random.PRNGKey(1))
+
+    t1 = np.asarray(out_follow["rollout_traj"])
+    t2 = np.asarray(out_bypass["rollout_traj"])
+    diff = np.abs(t1 - t2).sum(axis=(-1, -2))  # [M?, B, N] -> per-agent
+    pm = np.asarray(batch.prompt.mask)
+    assert np.isfinite(t1[pm]).all() and np.isfinite(t2[pm]).all()
+    # the tagged pair's rollout must move
+    assert diff[..., 0, 0].max() > 1e-6
+    assert diff[..., 0, 1].max() > 1e-6

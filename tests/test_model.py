@@ -218,3 +218,77 @@ def test_policy_aux_pred_modes():
         assert out[key].shape == (B, N, dim)
         assert "motion_pred" not in out
         assert np.isfinite(np.asarray(out[key])).all()
+
+
+def test_pred_gmm_train_end_to_end():
+    """PRED_GMM: policy emits [x,y,h,log_std1,log_std2,rho,(xd,yd)] and the
+    rollout loss consumes the GMM params as a bivariate NLL position term
+    (reference: loss_func.py:250-326). Gradients must flow into the motion
+    head through the NLL."""
+    from prosim_tpu.train.losses import paired_mse_k
+
+    cfg = get_config(opts=SMALL_OPTS + [
+        "MODEL.POLICY.ACT_DECODER.TRAJ.PRED_GMM", "True",
+    ])
+    model = ProSim(cfg)
+    batch = make_synthetic_batch(
+        cfg, batch_size=1, num_lanes=8, num_obs_agents=6, num_agents=4, num_replan=2
+    )
+    params = model.init(jax.random.PRNGKey(0), batch)
+    out = model.forward(params, batch, "val", jax.random.PRNGKey(1))
+    state_dim = len(cfg.DATASET.FORMAT.TARGET.ELEMENTS.split(","))
+    assert out["motion_pred"].shape[-1] == state_dim + 3
+
+    def loss_fn(p):
+        o = model.forward(p, batch, "train", jax.random.PRNGKey(0))
+        return paired_mse_k(batch, o, cfg)["full_loss"]
+
+    val, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
+    assert np.isfinite(float(val))
+    g = grads["policy"]["motion_head"]["dense_2"]["kernel"]
+    assert float(jnp.abs(g).sum()) > 0
+
+    # the NLL path must actually be live: perturbing only a gmm column of the
+    # motion head output changes the loss
+    def loss_fn_shifted(p):
+        o = model.forward(p, batch, "train", jax.random.PRNGKey(0))
+        o = dict(o)
+        mp = o["motion_pred"]
+        o["motion_pred"] = mp.at[..., 3].add(1.0)  # log_std1 + 1
+        return paired_mse_k(batch, o, cfg)["full_loss"]
+
+    v2 = jax.jit(loss_fn_shifted)(params)
+    assert abs(float(v2) - float(val)) > 1e-6
+
+
+@pytest.mark.parametrize("opts", [
+    ["MODEL.OBS_UPDATE.FUSION", "mlp"],
+    ["MODEL.OBS_UPDATE.ATTN_UPDATE", "True"],
+])
+def test_obs_update_variants_closed_loop(opts):
+    """OBS_UPDATE.FUSION='mlp' fusion MLP and ATTN_UPDATE re-attention paths
+    (reference: attn_fusion.py:136-250) run the full closed loop and differ
+    from the default replace/no-reattention output."""
+    batch_kw = dict(batch_size=1, num_lanes=8, num_obs_agents=6, num_agents=4,
+                    num_replan=2)
+    cfg0 = get_config(opts=SMALL_OPTS)
+    cfg1 = get_config(opts=SMALL_OPTS + opts)
+    batch = make_synthetic_batch(cfg0, **batch_kw)
+    model1 = ProSim(cfg1)
+    params1 = model1.init(jax.random.PRNGKey(0), batch)
+    out1 = model1.forward(params1, batch, "val", jax.random.PRNGKey(1))
+    mask = np.asarray(batch.prompt.mask)
+    traj1 = np.asarray(out1["rollout_traj"])
+    assert np.isfinite(traj1[mask]).all()
+
+    # grads flow through the variant-specific parameters too
+    def loss_fn(p):
+        o = model1.forward(p, batch, "train", jax.random.PRNGKey(0))
+        m = batch.prompt.mask[None, :, :, None, None, None]
+        return jnp.sum(jnp.where(m, o["motion_pred"], 0.0) ** 2) / 1000.0
+
+    _, grads = jax.jit(jax.value_and_grad(loss_fn))(params1)
+    total = sum(
+        float(x) for x in jax.tree.leaves(jax.tree.map(lambda g: jnp.abs(g).sum(), grads))
+    )
+    assert np.isfinite(total) and total > 0

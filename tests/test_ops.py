@@ -46,7 +46,7 @@ def _np_pointnet(params, poly, mask, pre_layers, mlp_layers, h):
     def dense(p, x):
         return x @ np.asarray(p["kernel"]) + np.asarray(p["bias"])
 
-    def layernorm(p, x, eps=1e-6):
+    def layernorm(p, x, eps=1e-5):
         mu = x.mean(-1, keepdims=True)
         var = ((x - mu) ** 2).mean(-1, keepdims=True)
         return (x - mu) / np.sqrt(var + eps) * np.asarray(p["scale"]) + np.asarray(p["bias"])
@@ -106,7 +106,7 @@ def _np_edge_attention(p, x_dst, x_src, edges, pe, H, hd, bipartite):
             out = out + np.asarray(p[name]["bias"])
         return out
 
-    def layernorm(name, x, eps=1e-6):
+    def layernorm(name, x, eps=1e-5):
         mu = x.mean(-1, keepdims=True)
         var = ((x - mu) ** 2).mean(-1, keepdims=True)
         return (x - mu) / np.sqrt(var + eps) * np.asarray(p[name]["scale"]) + np.asarray(

@@ -296,3 +296,100 @@ def test_goal_heatmap_plot(tmp_path):
     prob = rng.random((1, N, 16)).astype(np.float32)
     p = plot_goal_heatmap(b, gp, prob, str(tmp_path / "hm.png"))
     assert os.path.getsize(p) > 1000
+
+
+def test_wosac_official_structure():
+    """Official metametric structure (reference loads the challenge textproto,
+    callbacks.py:234-239): per-feature exp(mean loglik) scores, group means,
+    weighted metametric; Bernoulli indicators aggregate per rollout."""
+    import numpy as np
+
+    from prosim_tpu.rollout.wosac_metrics import (
+        CHALLENGE_CONFIG, GROUPS, scenario_metrics,
+    )
+
+    rng = np.random.default_rng(1)
+    N, T, M = 4, 30, 16
+    t = np.arange(T) * 0.1
+    log = np.zeros((N, T, 3))
+    for n in range(N):
+        log[n, :, 0] = 8.0 * t
+        log[n, :, 1] = n * 5.0
+    ext = np.tile([[4.5, 2.0]], (N, 1))
+    sim = log[None] + rng.normal(scale=0.1, size=(M, N, T, 3)) * [1, 1, 0.01]
+
+    # straight lane centerlines under each agent
+    a = np.stack([np.linspace(-5, 30, 36)[:-1], np.zeros(35)], -1)
+    segs_a = np.concatenate([a + [0, n * 5.0] for n in range(N)])
+    segs_b = segs_a + [1.0, 0]
+
+    m = scenario_metrics(sim, log, ext, road_segments=(segs_a, segs_b))
+
+    # every configured feature present
+    for name in CHALLENGE_CONFIG:
+        assert f"feature/{name}" in m, name
+    for g in GROUPS:
+        assert g in m and 0 <= m[g] <= 1
+    assert 0 <= m["metametric"] <= 1
+    assert m["composite"] == m["metametric"]
+    # replay-quality sims: indicators should be near-perfect
+    assert m["feature/collision_indication"] > 0.9
+    assert m["feature/offroad_indication"] > 0.9
+
+
+def test_wosac_collision_indication_bernoulli():
+    """Sims that always collide must score the non-colliding log poorly."""
+    import numpy as np
+
+    from prosim_tpu.rollout.wosac_metrics import scenario_metrics
+
+    N, T, M = 2, 20, 8
+    t = np.arange(T) * 0.1
+    log = np.zeros((N, T, 3))
+    log[0, :, 0] = 5 * t
+    log[1, :, 0] = 5 * t
+    log[1, :, 1] = 10.0          # far apart -> no collision in the log
+    ext = np.tile([[4.0, 2.0]], (N, 1))
+
+    sim_collide = np.repeat(log[None], M, 0).copy()
+    sim_collide[:, 1, :, 1] = 0.5  # overlapping the whole time
+    m_bad = scenario_metrics(sim_collide, log, ext)
+    sim_ok = np.repeat(log[None], M, 0)
+    m_good = scenario_metrics(sim_ok, log, ext)
+    assert m_bad["feature/collision_indication"] < 0.05
+    assert m_good["feature/collision_indication"] > 0.95
+
+
+def test_wosac_textproto_loader(tmp_path):
+    """Official challenge_config.textproto parses without protobuf."""
+    from prosim_tpu.rollout.wosac_metrics import load_challenge_config_textproto
+
+    txt = """
+linear_speed {
+  independent_timesteps: true
+  histogram {
+    min_val: -0.2
+    max_val: 55.1
+    num_bins: 110
+    additive_smoothing_pseudocount: 0.002
+  }
+  metametric_weight: 0.07
+}
+collision_indication {
+  independent_timesteps: false
+  bernoulli {
+  }
+  metametric_weight: 0.31
+}
+"""
+    p = tmp_path / "challenge_config.textproto"
+    p.write_text(txt)
+    cfg = load_challenge_config_textproto(str(p))
+    ls = cfg["linear_speed"]
+    assert ls.estimator == "histogram"
+    assert ls.min_val == -0.2 and ls.max_val == 55.1 and ls.num_bins == 110
+    assert ls.additive_smoothing_pseudocount == 0.002
+    assert ls.independent_timesteps and ls.metametric_weight == 0.07
+    ci = cfg["collision_indication"]
+    assert ci.estimator == "bernoulli"
+    assert not ci.independent_timesteps and ci.metametric_weight == 0.31

@@ -115,6 +115,56 @@ def test_checkpoint_roundtrip_nonstrict(trained):
     np.testing.assert_allclose(emb_a, emb_b + 1.0, atol=1e-5)  # kept current
 
 
+def test_trainer_resume_bit_matches_uninterrupted(tmp_path):
+    """train -> save -> restore in a fresh Trainer -> train must bit-match an
+    uninterrupted run: opt_state, step, best_loss and the training rng are all
+    part of the checkpoint (reference LOAD_CHECKPOINT_TRAINER resume,
+    prosim/trainer.py:305-311)."""
+    import os
+
+    from prosim_tpu.parallel.mesh import make_mesh
+
+    cfg = get_config(opts=SMALL_OPTS + [
+        "EXPERIMENT_DIR", str(tmp_path),
+        "TRAIN.BATCH_SIZE", "2",
+        "PARALLEL.NUM_DATA", "2",
+        "CHECKPOINT_INTERVAL", "2",
+        "PROMPT.CONDITION.TYPES", "[]",
+    ])
+    batch = make_synthetic_batch(
+        cfg, batch_size=2, num_lanes=8, num_obs_agents=6, num_agents=4,
+        num_replan=2,
+    )
+    mesh = make_mesh(num_data=2, num_model=1, devices=jax.devices()[:2])
+
+    # uninterrupted: 4 steps
+    t_full = Trainer(cfg, mesh=mesh)
+    t_full.setup(batch)
+    t_full.fit(lambda: iter([batch] * 4), max_steps=4)
+
+    # interrupted: 2 steps (saves ckpt_last at step 2 via CHECKPOINT_INTERVAL)
+    t_a = Trainer(cfg, mesh=mesh)
+    t_a.setup(batch)
+    t_a.fit(lambda: iter([batch] * 2), max_steps=2)
+    ckpt = os.path.join(t_a.run_dir, "ckpt_last")
+    assert os.path.exists(ckpt), "periodic CHECKPOINT_INTERVAL save missing"
+
+    # resume in a brand-new trainer and run the remaining 2 steps
+    t_b = Trainer(cfg, mesh=mesh)
+    t_b.setup(batch)
+    t_b.load_checkpoint(ckpt, trainer_state=True)
+    assert t_b.step == 2
+    t_b.fit(lambda: iter([batch] * 2), max_steps=4)
+
+    for a, b in zip(
+        jax.tree.leaves(jax.tree.map(np.asarray, t_full.params)),
+        jax.tree.leaves(jax.tree.map(np.asarray, t_b.params)),
+    ):
+        np.testing.assert_array_equal(a, b)
+    assert t_b.step == t_full.step == 4
+    assert np.float32(t_b.best_loss) == np.float32(t_full.best_loss)
+
+
 def test_rollout_callback_metrics(trained):
     """Validation-time M-replica rollout callback logs finite sim metrics
     (reference: rollout/callbacks.py:229-307)."""
