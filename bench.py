@@ -83,6 +83,8 @@ def main():
                     help="use demo trajdata-cache scenes instead of synthetic")
     ap.add_argument("--cache-dir",
                     default="/root/reference/demo_dataset/trajdata_cache")
+    ap.add_argument("--opts", nargs="*", default=[],
+                    help="extra config KEY VALUE overrides")
     args = ap.parse_args()
 
     from prosim_tpu.config import get_config
@@ -103,7 +105,7 @@ def main():
         "DATASET.FORMAT.PAD.NUM_AGENTS", str(args.agents),
         "MODEL.DTYPE", args.dtype,
         "PROMPT.CONDITION.TYPES", repr(cond_types),
-    ])
+    ] + list(args.opts))
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = ProSim(config, dtype=dtype)
     if args.real_data:

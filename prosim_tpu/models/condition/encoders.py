@@ -38,7 +38,10 @@ class GoalConditionEncoder(nn.Module):
             ret_before_act=True, without_norm=True, dtype=self.dtype, name="goal_encoder",
         )(cond.feat[..., :2])
         if self.use_temporal_pe:
-            emd = emd + FourierEmbeddingFix(num_pos_feats=self.hidden_dim)(cond.feat[..., 2:3])
+            pe = FourierEmbeddingFix(num_pos_feats=self.hidden_dim)(cond.feat[..., 2:3])
+            emd = emd + pe.astype(self.dtype)  # keep the model dtype: a f32
+            # result would make the downstream edge-matrix scatter a
+            # mixed-dtype update (error in future jax)
         return emd
 
 
@@ -57,12 +60,12 @@ class _TagEncoder(nn.Module):
             "tag_params", nn.initializers.normal(1.0), (self.num_tags, param_dim)
         )
         tag_id = jnp.clip(cond.feat[..., 0].astype(jnp.int32), 0, self.num_tags - 1)
-        emd = bank[tag_id]  # [B, C, param_dim]
+        emd = bank[tag_id].astype(self.dtype)  # [B, C, param_dim]
         if self.use_temporal_pe:
             pe = FourierEmbeddingFix(num_pos_feats=self.hidden_dim // 2)(cond.feat[..., 1:3])
             if self.binary:
                 pe = jnp.tile(pe, (1, 1, 2))
-            emd = emd + pe
+            emd = emd + pe.astype(self.dtype)
         return emd
 
 

@@ -126,11 +126,59 @@ class LoraDense(nn.Module):
         return y
 
 
+def _causal_attention(q, k, v, token_mask, cfg: LlamaConfig, initializing: bool):
+    """Causal self-attention over [B, T, H, D] with a [B, T] validity mask.
+
+    On TPU with production head_dim the Pallas flash-attention kernel runs
+    (no [B, H, T, T] materialization - the reference's dense f32 softmax was
+    the long-prompt memory wall, text_attns.py runs HF's fused kernels); the
+    dense path is the fallback for CPU/tests and the parity oracle."""
+    B, T, H, D = q.shape
+    use_flash = (
+        not initializing
+        and jax.default_backend() == "tpu"
+        and D % 128 == 0
+        and T >= 128
+    )
+    scale = 1.0 / float(D) ** 0.5
+    if use_flash:
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds,
+            flash_attention,
+        )
+
+        pad = (-T) % 128
+        qf = jnp.swapaxes(q, 1, 2)  # [B, H, T, D]
+        kf = jnp.swapaxes(k, 1, 2)
+        vf = jnp.swapaxes(v, 1, 2)
+        seg = token_mask.astype(jnp.int32)  # pads -> segment 0, valid -> 1
+        if pad:
+            zpad = ((0, 0), (0, 0), (0, pad), (0, 0))
+            qf = jnp.pad(qf, zpad)
+            kf = jnp.pad(kf, zpad)
+            vf = jnp.pad(vf, zpad)
+            seg = jnp.pad(seg, ((0, 0), (0, pad)))
+        out = flash_attention(
+            qf, kf, vf, segment_ids=SegmentIds(q=seg, kv=seg),
+            causal=True, sm_scale=scale,
+        )
+        return jnp.swapaxes(out[:, :, :T], 1, 2)
+
+    causal = jnp.tril(jnp.ones((T, T), bool))
+    mask = causal[None] & token_mask[:, None, :]
+    att = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    att = jnp.where(mask[:, None], att, -1e30)
+    att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", att, v)
+
+
 class LlamaBlock(nn.Module):
     cfg: LlamaConfig
 
     @nn.compact
     def __call__(self, x, positions, attn_mask):
+        """attn_mask [B, T] bool token validity; causal masking is applied
+        internally (flash kernel or dense fallback)."""
         c = self.cfg
         h = RMSNorm(c.rms_eps, c.dtype, name="input_norm")(x)
 
@@ -150,10 +198,8 @@ class LlamaBlock(nn.Module):
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
 
-        att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(c.head_dim).astype(c.dtype)
-        att = jnp.where(attn_mask[:, None], att, -1e30)
-        att = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(c.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, T, -1)
+        out = _causal_attention(q, k, v, attn_mask, c, self.is_initializing())
+        out = out.reshape(B, T, -1)
         out = LoraDense(c.hidden_size, kernel_axes=("model", None),
                         lora_rank=0, dtype=c.dtype, name="o_proj")(out)
         x = x + out
@@ -223,11 +269,9 @@ class LlamaModel(nn.Module):
             attention_mask = jnp.concatenate([attention_mask, extra_mask], axis=1)
         B, T = x.shape[:2]
         positions = jnp.cumsum(attention_mask, axis=-1) - 1
-        causal = jnp.tril(jnp.ones((T, T), bool))
-        mask = causal[None] & attention_mask[:, None, :]
 
         for i in range(c.num_layers):
-            x = LlamaBlock(c, name=f"layer_{i}")(x, positions, mask)
+            x = LlamaBlock(c, name=f"layer_{i}")(x, positions, attention_mask)
         x = RMSNorm(c.rms_eps, c.dtype, name="final_norm")(x)
         if return_logits:
             # untied LM head (Llama3 convention); sharded like the embedding

@@ -222,6 +222,7 @@ class PolicyRelPE(nn.Module):
                 num_heads=self.num_heads,
                 head_dim=self.head_dim,
                 pe_dim=self.hidden_dim,
+                q_tile=16,
             )
 
         a2p_pe = self.a2p_pe(a2p_feats)

@@ -166,10 +166,18 @@ def _site_layer(x, w, l, xg, zr, valid, num_heads, head_dim, scale):
     E = qt * K
     dt = x.dtype
 
-    # head-segment matrix: S[i,h] = 1 iff column i belongs to head h
-    col = jax.lax.broadcasted_iota(jnp.int32, (I, H), 0) // hd
-    row = jax.lax.broadcasted_iota(jnp.int32, (I, H), 1)
-    S = (col == row).astype(dt)                       # [I,H]
+    # head-segment matrices. S expands [.,H] -> [.,I] (column i of head h);
+    # SS = S_sum @ S_expand is block-diagonal ones: prod @ SS computes the
+    # per-head score AND broadcasts it to all of that head's I-columns in one
+    # full-width MXU matmul. The softmax then runs on [.,I] tensors with all
+    # 128 lanes live - the [.,H] layout left 8/128 lanes used and measured
+    # lane-bound on v5e (round-1 negative result).
+    colI = jax.lax.broadcasted_iota(jnp.int32, (I, I), 0) // hd
+    rowI = jax.lax.broadcasted_iota(jnp.int32, (I, I), 1) // hd
+    SS = (colI == rowI).astype(dt)                    # [I,I] block-diag ones
+    colH = jax.lax.broadcasted_iota(jnp.int32, (H, I), 0)
+    rowH = jax.lax.broadcasted_iota(jnp.int32, (H, I), 1) // hd
+    S_exp = (colH == rowH).astype(jnp.float32)        # [H,I]
 
     xn = _norm(x) * w["gd"][l] + w["bd"][l]
     q = _dot(xn, w["wq"][l]).astype(dt) + w["bq"][l]  # [qt,I]
@@ -184,18 +192,20 @@ def _site_layer(x, w, l, xg, zr, valid, num_heads, head_dim, scale):
     v_e = kv[:, I:]
 
     prod = (k_e.reshape(qt, K, I) * q[:, None, :]).reshape(E, I)
-    sim = _dot(prod, S).reshape(qt, K, H) * scale     # [qt,K,H] f32
+    sim = (_dot(prod, SS) * scale).reshape(qt, K, I)  # f32, lane-packed
 
-    # compare in f32: bf16 comparisons are unsupported on the target
-    vmask = valid.astype(jnp.float32) > 0.5           # [qt,K,H]
+    # compare in f32: bf16 comparisons are unsupported on the target.
+    # valid arrives head-broadcast [qt,K,H]; expand to I lanes via matmul
+    # (Mosaic cannot insert trailing unit dims for a broadcast)
+    vmask = _dot(valid.astype(jnp.float32).reshape(E, H), S_exp)
+    vmask = vmask.reshape(qt, K, I) > 0.5             # [qt,K,I]
     sim = jnp.where(vmask, sim, -jnp.inf)
     smax = jnp.max(sim, axis=1, keepdims=True)
     smax = jnp.where(jnp.isfinite(smax), smax, 0.0)
     expw = jnp.where(vmask, jnp.exp(sim - smax), 0.0)
     denom = jnp.maximum(expw.sum(axis=1, keepdims=True), 1e-9)
-    attn = (expw / denom).astype(dt)                  # [qt,K,H]
+    attn_e = (expw / denom).astype(dt)                # [qt,K,I] pre-expanded
 
-    attn_e = _dot(attn.reshape(E, H), S.T).astype(dt).reshape(qt, K, I)
     agg = (attn_e * v_e.reshape(qt, K, I)).sum(axis=1).astype(dt)  # [qt,I]
 
     # sigmoid computed in f32: Mosaic's bf16 logistic lowering trips an MLIR

@@ -204,3 +204,187 @@ def plot_goal_heatmap(batch, goal_point, goal_prob, path, bidx=0, agent=0,
     fig.savefig(path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return path
+
+
+def agent_color_map(agent_ids, cmap_name: str = "tab20"):
+    """Stable distinct color per agent slot (reference:
+    prosim_demo/text_prompt_inference.ipynb `obtain_agent_name_to_color`)."""
+    import matplotlib
+
+    cm = matplotlib.colormaps[cmap_name]
+    return {int(a): cm(i % cm.N) for i, a in enumerate(agent_ids)}
+
+
+def plot_batch_prompts(batch: SceneBatch, bidx: int = 0, ax=None,
+                       texts: Optional[list] = None, **kwargs):
+    """Overlay every prompt condition on the scene (reference:
+    prosim/demo/vis.py plot_batch_prompts): goal stars, drag-point sketch
+    paths, per-agent action-tag labels, pair-tag arrows, and the text prompt
+    as the title. Agent-frame condition features are rotated out into the
+    scene frame."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plot_scene(batch, bidx=bidx, ax=ax, **kwargs)
+    ax = fig.axes[0]
+
+    pos = np.asarray(batch.prompt.pos[bidx])
+    ori = np.asarray(batch.prompt.ori[bidx])
+    conds = batch.conditions or {}
+
+    def to_scene(n, xy):
+        c, s = np.cos(ori[n]), np.sin(ori[n])
+        return xy @ np.array([[c, -s], [s, c]]).T + pos[n]
+
+    colors = agent_color_map(range(pos.shape[0]))
+
+    c = conds.get("goal")
+    if c is not None and not isinstance(c, dict):
+        feat = np.asarray(c.feat[bidx])
+        mask = np.asarray(c.mask[bidx])
+        pidx = np.asarray(c.prompt_idx[bidx])
+        for ci in np.nonzero(mask)[0]:
+            n = int(pidx[ci, 0])
+            g = to_scene(n, feat[ci, :2][None])[0]
+            ax.scatter([g[0]], [g[1]], marker="*", s=140, zorder=6,
+                       color=colors[n], edgecolors="black", linewidths=0.5)
+
+    c = conds.get("drag_point")
+    if c is not None and not isinstance(c, dict):
+        feat = np.asarray(c.feat[bidx])
+        mask = np.asarray(c.mask[bidx])
+        pidx = np.asarray(c.prompt_idx[bidx])
+        for ci in np.nonzero(mask)[0]:
+            n = int(pidx[ci, 0])
+            pts = feat[ci].reshape(-1, 2)
+            pts = pts[~np.isnan(pts).any(-1)]
+            if len(pts) == 0:
+                continue
+            w = to_scene(n, pts)
+            ax.plot(w[:, 0], w[:, 1], ls=":", lw=2.0, marker="o", ms=4,
+                    color=colors[n], zorder=6)
+
+    c = conds.get("v_action_tag")
+    if c is not None and not isinstance(c, dict):
+        from prosim_tpu.data.motion_tags import VActionTag
+
+        feat = np.asarray(c.feat[bidx])
+        mask = np.asarray(c.mask[bidx])
+        pidx = np.asarray(c.prompt_idx[bidx])
+        for ci in np.nonzero(mask)[0]:
+            n = int(pidx[ci, 0])
+            tid = int(feat[ci, 0])
+            if not any(t.value == tid for t in VActionTag):
+                continue  # padded / malformed row
+            ax.annotate(VActionTag(tid).name, pos[n],
+                        textcoords="offset points",
+                        xytext=(6, 6), fontsize=7, color=colors[n], zorder=7)
+
+    c = conds.get("v2v_tag")
+    if c is not None and not isinstance(c, dict):
+        from prosim_tpu.data.motion_tags import V2VTag
+
+        feat = np.asarray(c.feat[bidx])
+        mask = np.asarray(c.mask[bidx])
+        pidx = np.asarray(c.prompt_idx[bidx])
+        for ci in np.nonzero(mask)[0]:
+            a, b = int(pidx[ci, 0]), int(pidx[ci, 1])
+            tid = int(feat[ci, 0])
+            if a < 0 or b < 0 or not any(t.value == tid for t in V2VTag):
+                continue
+            tag = V2VTag(tid).name
+            ax.annotate(
+                "", xy=pos[b], xytext=pos[a], zorder=7,
+                arrowprops=dict(arrowstyle="->", color=colors[a], lw=1.5),
+            )
+            mid = (pos[a] + pos[b]) / 2
+            ax.annotate(tag, mid, fontsize=7, color=colors[a], zorder=7)
+
+    if texts:
+        ax.set_title(texts[bidx] if bidx < len(texts) else texts[0],
+                     fontsize=8, wrap=True)
+    return fig
+
+
+def plot_model_output(batch: SceneBatch, output: Dict, bidx: int = 0,
+                      label_agents: bool = True, **kwargs):
+    """Rollout overlay with per-agent distinct colors and slot labels
+    (reference: prosim/demo/vis.py plot_model_output)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plot_scene(batch, bidx=bidx, output=None, **kwargs)
+    ax = fig.axes[0]
+
+    pmask = np.asarray(batch.prompt.mask[bidx])
+    traj = np.asarray(output["rollout_traj"][bidx])
+    init_pos = np.asarray(output["init_pos"][bidx])
+    init_h = np.asarray(output["init_heading"][bidx])
+    colors = agent_color_map(range(pmask.shape[0]))
+
+    for n in np.nonzero(pmask)[0]:
+        c, s = np.cos(init_h[n]), np.sin(init_h[n])
+        world = traj[n, :, :2] @ np.array([[c, -s], [s, c]]).T + init_pos[n]
+        ax.plot(world[:, 0], world[:, 1], color=colors[int(n)], lw=1.8, zorder=4)
+        ax.scatter([world[-1, 0]], [world[-1, 1]], s=16, color=colors[int(n)],
+                   zorder=5)
+        if label_agents:
+            ax.annotate(f"A{int(n)}", world[0], fontsize=7,
+                        color=colors[int(n)], zorder=7,
+                        textcoords="offset points", xytext=(4, -8))
+    return fig
+
+
+def plot_full_map(scene, ax=None, show_ids: bool = False,
+                  color_center: str = "#bbbbbb", color_edge: str = "#777777"):
+    """Whole-scene vector map in world coordinates from a SceneData
+    (reference: prosim/demo/vis.py plot_full_map): lane centerlines +
+    left/right boundaries, optional lane-id labels."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(10, 10))
+    else:
+        fig = ax.figure
+    if scene.map is None:
+        return fig
+    for lane in scene.map.lanes:
+        c = np.asarray(lane.center)
+        if len(c) >= 2:
+            ax.plot(c[:, 0], c[:, 1], color=color_center, lw=0.6, zorder=0)
+        for edge in (lane.left_edge, lane.right_edge):
+            if edge is not None and len(edge) >= 2:
+                e = np.asarray(edge)
+                ax.plot(e[:, 0], e[:, 1], color=color_edge, lw=0.4, zorder=0)
+        if show_ids and len(c):
+            ax.annotate(str(lane.lane_id), c[len(c) // 2], fontsize=5,
+                        color="#444444")
+    ax.set_aspect("equal")
+    ax.set_axis_off()
+    return fig
+
+
+def save_comparison_png(batch: SceneBatch, output: Dict, path: str,
+                        bidx: int = 0, **kwargs):
+    """Side-by-side GT (log-replay) vs closed-loop rollout panels
+    (reference: models/utils/visualization.py comparison figures)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 2, figsize=(16, 8))
+    plot_scene(batch, bidx=bidx, output=None, show_gt=True, ax=axes[0], **kwargs)
+    axes[0].set_title("logged future", fontsize=10)
+    plot_model_output(batch, output, bidx=bidx, ax=axes[1], show_gt=False, **kwargs)
+    axes[1].set_title("closed-loop rollout", fontsize=10)
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path

@@ -393,3 +393,65 @@ collision_indication {
     ci = cfg["collision_indication"]
     assert ci.estimator == "bernoulli"
     assert not ci.independent_timesteps and ci.metametric_weight == 0.31
+
+
+def test_viz_prompt_overlays_and_comparison(tmp_path):
+    """Prompt-condition overlays, per-agent colored output plot, full-map
+    plot, and the GT-vs-rollout comparison panel render without error
+    (reference: prosim/demo/vis.py plot_batch_prompts/plot_model_output/
+    plot_full_map)."""
+    import matplotlib.pyplot as plt
+
+    from prosim_tpu.config import get_config
+    from prosim_tpu.data.synthetic import make_synthetic_batch
+    from prosim_tpu.models.prosim import ProSim
+    from prosim_tpu.viz.plots import (
+        plot_batch_prompts,
+        plot_full_map,
+        save_comparison_png,
+    )
+
+    cfg = get_config(opts=[
+        "MODEL.SCENE_ENCODER.ATTN.NUM_LAYER", "1",
+        "MODEL.DECODER.ATTN.NUM_LAYER", "1",
+        "MODEL.POLICY.ACT_DECODER.ATTN.NUM_LAYER", "1",
+        "MODEL.HIDDEN_DIM", "16",
+        "MODEL.SCENE_ENCODER.ATTN.FF_DIM", "2",
+        "MODEL.DECODER.ATTN.FF_DIM", "2",
+        "MODEL.POLICY.ACT_DECODER.ATTN.FF_DIM", "2",
+        "MODEL.SCENE_ENCODER.ATTN.MAX_NUM_NEIGH", "4",
+        "MODEL.DECODER.ATTN.MAX_NUM_NEIGH", "4",
+        "MODEL.POLICY.ACT_DECODER.ATTN.MAX_NUM_NEIGH", "4",
+        "PROMPT.CONDITION.TYPES", "['goal','v_action_tag','v2v_tag','drag_point']",
+    ])
+    model = ProSim(cfg)
+    batch = make_synthetic_batch(
+        cfg, batch_size=1, num_lanes=8, num_obs_agents=6, num_agents=4,
+        num_replan=1,
+    )
+    params = model.init(jax.random.PRNGKey(0), batch)
+    out = model.forward(params, batch, "val", jax.random.PRNGKey(1))
+
+    fig = plot_batch_prompts(batch, texts=["<A0> turns left."])
+    p1 = tmp_path / "prompts.png"
+    fig.savefig(p1)
+    plt.close(fig)
+    assert p1.stat().st_size > 1000
+
+    p2 = tmp_path / "cmp.png"
+    save_comparison_png(batch, out, str(p2))
+    assert p2.stat().st_size > 1000
+
+    import os
+
+    CACHE = "/root/reference/demo_dataset/trajdata_cache"
+    if os.path.isdir(CACHE):
+        from prosim_tpu.data.trajdata_cache import list_scenes, load_scene
+
+        env = "waymo_train"
+        scene = load_scene(CACHE, env, list_scenes(CACHE, env)[0])
+        fig = plot_full_map(scene)
+        p3 = tmp_path / "map.png"
+        fig.savefig(p3)
+        plt.close(fig)
+        assert p3.stat().st_size > 1000
