@@ -120,6 +120,76 @@ def run_rollout_eval(
     return out_dir
 
 
+def restore_eval_params(config, ckpt_path: str, cache_dir: Optional[str] = None,
+                        model: Optional[ProSim] = None, ds=None):
+    """Load a Trainer checkpoint's params for farm-side evaluation:
+    non-strict merge into a fresh init tree (absent leaves - the stripped
+    frozen LLM body - keep init values)."""
+    import orbax.checkpoint as ocp
+
+    ds = ds or ProSimImitationDataset(config, "rollout", cache_dir)
+    model = model or ProSim(config)
+    init = model.init(jax.random.PRNGKey(config.SEED), ds.get_scene_batch(0))
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt_path))
+
+    def merge(cur, res):
+        if not isinstance(cur, dict):
+            return res
+        return {k: merge(v, res[k]) if k in res else v for k, v in cur.items()}
+
+    return merge(init, restored["params"]), model, ds
+
+
+def serve_rollout_requests(
+    config,
+    cache_dir: Optional[str] = None,
+    poll_s: float = 30.0,
+    max_requests: Optional[int] = None,
+    once: bool = False,
+    worker_id: int = 0,
+    num_workers: int = 1,
+    **eval_kwargs,
+):
+    """Farm-side consumer of Trainer.submit_rollout_request files.
+
+    Watches ROLLOUT_REQUEST_PATH for request JSONs (checkpoint path + epoch),
+    claims each atomically by rename (the lock-free analogue of the
+    reference farm's touch files, distributed_utils.py:151-158; the
+    reference's external farm reads the same request contract,
+    callbacks.py:373-399), loads the checkpoint, and runs the rollout eval
+    into <exp_folder>/rollouts_ep<N>."""
+    import glob as _glob
+    import json
+
+    req_dir = config.ROLLOUT_REQUEST_PATH
+    assert req_dir, "config.ROLLOUT_REQUEST_PATH is not set"
+    done = 0
+    while True:
+        for fp in sorted(_glob.glob(os.path.join(req_dir, "*.json"))):
+            claim = f"{fp}.claimed_w{worker_id}"
+            try:
+                os.rename(fp, claim)
+            except OSError:
+                continue  # another worker claimed it
+            with open(claim) as f:
+                req = json.load(f)
+            out_dir = os.path.join(req["exp_folder"], f"rollouts_ep{req['epoch']}")
+            params, model, ds = restore_eval_params(
+                config, req["ckpt_path"], cache_dir
+            )
+            run_rollout_eval(
+                config, cache_dir, out_dir=out_dir, m=req.get("m"),
+                params=params, model=model, worker_id=worker_id,
+                num_workers=num_workers, **eval_kwargs,
+            )
+            done += 1
+            if max_requests is not None and done >= max_requests:
+                return done
+        if once:
+            return done
+        time.sleep(poll_s)
+
+
 def _world_lane_segments(scene, max_segments: int = 8192):
     """World-frame lane-center segments for the map-based metric fallback
     (official metrics use true road edges; the trajdata cache carries lane

@@ -28,6 +28,21 @@ from prosim_tpu.train.optim import build_optimizer
 from prosim_tpu.train.train_step import make_eval_step, make_train_step
 
 
+def find_latest_checkpoint(run_dir: str):
+    """Most recent checkpoint under a run dir - the TPU counterpart of the
+    reference's hpc_ckpt_* glob resume (reference:
+    rollout/distributed_utils.py:38-48). Prefers ckpt_last, else newest
+    ckpt_* by mtime; None when the run has no checkpoints."""
+    import glob as _glob
+
+    last = os.path.join(run_dir, "ckpt_last")
+    if os.path.isdir(last):
+        return last
+    cands = [p for p in _glob.glob(os.path.join(run_dir, "ckpt_*"))
+             if os.path.isdir(p)]
+    return max(cands, key=os.path.getmtime) if cands else None
+
+
 class Trainer:
     def __init__(self, config, model: Optional[ProSim] = None,
                  mesh=None, log_path: Optional[str] = None):
@@ -63,13 +78,16 @@ class Trainer:
         )
         self._eval_step = jax.jit(make_eval_step(self.model, self.config))
 
-        if self.config.LOAD_CHECKPOINT_PATH and (
-            self.config.LOAD_CHECKPOINT_MODEL or self.config.LOAD_CHECKPOINT_TRAINER
-        ):
-            self.load_checkpoint(
-                self.config.LOAD_CHECKPOINT_PATH,
-                trainer_state=self.config.LOAD_CHECKPOINT_TRAINER,
-            )
+        if self.config.LOAD_CHECKPOINT_MODEL or self.config.LOAD_CHECKPOINT_TRAINER:
+            path = self.config.LOAD_CHECKPOINT_PATH
+            if not path and self.config.LOAD_CHECKPOINT_TRAINER:
+                # auto-resume: newest checkpoint of this run (reference
+                # hpc_ckpt_* glob, distributed_utils.py:38-48)
+                path = find_latest_checkpoint(self.run_dir)
+            if path:
+                self.load_checkpoint(
+                    path, trainer_state=self.config.LOAD_CHECKPOINT_TRAINER
+                )
 
     # ------------------------------------------------------------------ train
     def fit(self, train_batches: Iterator, val_batches=None,
@@ -117,6 +135,8 @@ class Trainer:
                 if (rc.ENABLE and (epoch + 1) > rc.WARMUP_EPOCH
                         and (epoch + 1) % rc.INTERVAL_EPOCH == 0):
                     self.rollout_callback(val_batches)
+                    if rc.REQUEST_METRIC and self.config.ROLLOUT_REQUEST_PATH:
+                        self.submit_rollout_request(epoch + 1)
             if max_steps and self.step >= max_steps:
                 break
         if self.config.SAVE_CHECKPOINT:
@@ -211,6 +231,37 @@ class Trainer:
     _rollout_fn = None
     _rollout_m = None
     _improved = False
+
+    def submit_rollout_request(self, epoch: int) -> str:
+        """Save a mid-training checkpoint and drop a JSON request file for an
+        external WOSAC rollout farm (reference: rollout/callbacks.py:373-399
+        submit_rollout_request). A farm worker watches ROLLOUT_REQUEST_PATH,
+        loads the checkpoint and runs rollout.runner.run_rollout_eval."""
+        import datetime
+
+        tag = f"rollout_ep{epoch}"
+        self.save_checkpoint(tag)
+        req_dir = self.config.ROLLOUT_REQUEST_PATH
+        os.makedirs(req_dir, exist_ok=True)
+        exp_name = os.path.join(
+            self.config.EXPERIMENT_DIR, self.config.EXPERIMENT_NAME
+        ).replace("/", "_")
+        time_str = datetime.datetime.now().strftime("%m-%d-%Y_%H-%M-%S")
+        request = {
+            "ckpt_path": os.path.abspath(
+                os.path.join(self.run_dir, f"ckpt_{tag}")
+            ),
+            "exp_folder": os.path.abspath(self.run_dir),
+            "time_str": time_str,
+            "epoch": epoch,
+            "global_step": self.step,
+            "m": self.config.ROLLOUT.SAMPLE_NUM,
+        }
+        path = os.path.join(req_dir, f"{exp_name}_{time_str}_epoch_{epoch}.json")
+        with open(path, "w") as f:
+            json.dump(request, f)
+        self.log({"step": self.step, "rollout_request": path})
+        return path
 
     def evaluate_cond_sets(self, cache_dir, split="val", batch_size=None):
         """One eval pass per PROMPT.CONDITION.EVAL_COND_SETS entry, each with

@@ -455,3 +455,52 @@ def test_viz_prompt_overlays_and_comparison(tmp_path):
         fig.savefig(p3)
         plt.close(fig)
         assert p3.stat().st_size > 1000
+
+
+def test_rollout_request_roundtrip(tmp_path):
+    """Trainer writes a mid-training rollout request (checkpoint + JSON,
+    reference: callbacks.py:373-399) and the farm-side consumer claims it,
+    restores the checkpoint non-strictly, and produces rollout outputs."""
+    import json
+    import os
+
+    CACHE = "/root/reference/demo_dataset/trajdata_cache"
+    if not os.path.isdir(CACHE):
+        pytest.skip("demo cache absent")
+    from prosim_tpu.data.synthetic import make_synthetic_batch
+    from prosim_tpu.rollout import runner
+    from prosim_tpu.train.trainer import Trainer, find_latest_checkpoint
+
+    cfg = get_config(opts=SMALL_OPTS + [
+        "DATASET.FORMAT.PAD.NUM_LANES", "64",
+        "DATASET.FORMAT.MAP.MAX_POINTS", "64",
+        "DATASET.FORMAT.PAD.NUM_AGENTS", "16",
+        "DATASET.FORMAT.PAD.NUM_OBS_AGENTS", "24",
+        "DATASET.AGENT.SCENE_MAX_AGENT", "16",
+        "DATASET.SOURCE.ROLLOUT", "['waymo_train']",
+        "PROMPT.CONDITION.TYPES", "[]",
+        "EXPERIMENT_DIR", str(tmp_path),
+        "ROLLOUT_REQUEST_PATH", str(tmp_path / "requests"),
+    ])
+    batch = make_synthetic_batch(
+        cfg, batch_size=1, num_lanes=64, num_obs_agents=24, num_agents=16,
+        num_replan=2,
+    )
+    trainer = Trainer(cfg, mesh=__import__(
+        "prosim_tpu.parallel.mesh", fromlist=["make_mesh"]
+    ).make_mesh(num_data=1, num_model=1, devices=jax.devices()[:1]))
+    trainer.setup(batch)
+    req_path = trainer.submit_rollout_request(epoch=3)
+    assert os.path.exists(req_path)
+    req = json.load(open(req_path))
+    assert os.path.isdir(req["ckpt_path"])
+    assert find_latest_checkpoint(trainer.run_dir) is not None
+
+    n = runner.serve_rollout_requests(cfg, CACHE, once=True, max_scenes=1,
+                                      compute_metrics=False)
+    assert n == 1
+    out_dir = os.path.join(req["exp_folder"], "rollouts_ep3")
+    npz = [f for f in os.listdir(out_dir) if f.endswith(".npz")]
+    assert len(npz) == 1
+    # the request file was claimed (renamed), not left for other workers
+    assert not os.path.exists(req_path)
