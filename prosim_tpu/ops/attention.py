@@ -20,6 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from prosim_tpu.ops.edge_attn import edge_attn_core, edge_attn_supported
 from prosim_tpu.ops.fourier import FourierEmbeddingFix, FourierEmbedding
 from prosim_tpu.ops.neighbors import gather_neighbors
 from prosim_tpu.utils.geometry import angle_between_2d_vectors, wrap_angle
@@ -101,30 +102,53 @@ def gather_src_features(x_src, idx):
 def site_gather(x_src, src_pos, src_ori, idx):
     """One combined per-edge gather for a cross-attention site.
 
-    XLA's TPU gather cost is per-ROW (~8-10 ns/row measured on v5e),
-    nearly independent of row width: gathering pos [2], ori [1] and
-    normalized features [D] separately costs 3x one combined gather.
-    Concatenate them into a single [B,S,D+3] f32 table, gather once,
-    split. Returns (x_g [B,Q,K,D] in x_src.dtype, nbr_pos [B,Q,K,2] f32,
+    XLA's TPU gather cost is per-ROW per LANE-TILE (~6.5 ns/row measured on
+    v5e for rows <= 128 lanes, 2x that once the row spills into a second
+    128-lane tile): gathering pos [2], ori [1] and normalized features [D]
+    separately costs 3x one combined gather, and a naive combined f32 row of
+    D+3 = 131 floats costs 2x a single-tile row (this exact 2x was the
+    biggest flat op of the whole rollout, 83 ms/step at the m2p shape).
+    Under bf16 the D features are therefore BIT-PACKED two-per-f32-word so
+    the combined row is D/2+3 = 67 floats - one lane tile. The pack/unpack
+    is a bitcast round-trip: exactly the same feature values come out.
+
+    Returns (x_g [B,Q,K,D] in x_src.dtype, nbr_pos [B,Q,K,2] f32,
     nbr_ori [B,Q,K] f32).
     """
     D = x_src.shape[-1]
+    feats = _norm_stats(x_src)
+    pack = feats.dtype == jnp.bfloat16 and D % 2 == 0
+    if pack:
+        B, S = feats.shape[:2]
+        feat_cols = jax.lax.bitcast_convert_type(
+            feats.reshape(B, S, D // 2, 2), jnp.float32
+        )  # [B, S, D/2] f32 words carrying 2 bf16 each
+    else:
+        feat_cols = feats.astype(jnp.float32)
     table = jnp.concatenate(
         [
-            _norm_stats(x_src).astype(jnp.float32),
+            feat_cols,
             src_pos.astype(jnp.float32),
             src_ori[..., None].astype(jnp.float32),
         ],
         axis=-1,
     )
     g = gather_neighbors(table, idx)
+    C = feat_cols.shape[-1]
+    if pack:
+        Bq, Q, K = idx.shape
+        x_g = jax.lax.bitcast_convert_type(
+            g[..., :C], jnp.bfloat16
+        ).reshape(Bq, Q, K, D)
+    else:
+        x_g = g[..., :C].astype(x_src.dtype)
     # barrier: force the three slices to materialize as separate (smaller)
     # buffers so the wide f32 gather output can be freed - otherwise XLA
     # fuses the slices into downstream consumers and keeps the combined
-    # [B,Q,K,D+3] f32 buffer (GBs at production shapes) live through the
+    # [B,Q,K,C+3] f32 buffer (GBs at production shapes) live through the
     # whole PE pipeline
     return jax.lax.optimization_barrier(
-        (g[..., :D].astype(x_src.dtype), g[..., D : D + 2], g[..., D + 2])
+        (x_g, g[..., C : C + 2], g[..., C + 2])
     )
 
 
@@ -148,6 +172,9 @@ class GatedNeighborAttention(nn.Module):
     bipartite: bool = False
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # single-pass Pallas attention core on TPU forward paths (auto-disabled
+    # when shapes are unsupported or under training/autodiff)
+    edge_kernel: bool = False
 
     @nn.compact
     def __call__(
@@ -240,34 +267,51 @@ class GatedNeighborAttention(nn.Module):
         q_k = jnp.einsum("bqhe,dhe->bqhd", qh, w_k.reshape(D_src, H, hd))
         q_pe = jnp.einsum("bqhe,dhe->bqhd", qh, w_kr.reshape(D_pe, H, hd))
 
-        sim = (
-            jnp.einsum("bqhd,bqkd->bqkh", q_k * g_s[None, None, None], x_g)
-            + jnp.einsum("bqhd,bqkd->bqkh", q_pe * g_r[None, None, None], z_r)
-            + (
-                jnp.einsum("bqhd,d->bqh", q_k, b_s)
-                + jnp.einsum("bqhd,d->bqh", q_pe, b_r)
-            )[:, :, None]
-        ) * scale
-        sim = jnp.where(edge_valid[..., None], sim, -jnp.inf)
-        sim_max = jnp.max(sim, axis=2, keepdims=True)
-        sim_max = jnp.where(jnp.isfinite(sim_max), sim_max, 0.0)
-        expw = jnp.where(edge_valid[..., None], jnp.exp(sim - sim_max), 0.0)
-        denom = expw.sum(axis=2, keepdims=True)
-        attn = expw / jnp.maximum(denom, 1e-9)  # [B,Q,K,H]
-        if self.dropout > 0.0 and not deterministic:
-            attn = nn.Dropout(rate=self.dropout, name="attn_drop")(
-                attn, deterministic=deterministic
+        bias = jnp.einsum("bqhd,d->bqh", q_k, b_s) + jnp.einsum(
+            "bqhd,d->bqh", q_pe, b_r
+        )
+        use_kernel = (
+            self.edge_kernel
+            and deterministic
+            and not self.is_initializing()
+            and edge_attn_supported(Q, K, x_g.shape[-1])
+            and jax.default_backend() == "tpu"
+        )
+        if use_kernel:
+            # single-pass Pallas core: reads x_g/z_r ONCE instead of the
+            # XLA path's four passes (see ops/edge_attn.py; the per-query
+            # bias term cancels inside the softmax and is omitted there)
+            agg_x, agg_z, attn_sum = edge_attn_core(
+                x_g, z_r,
+                q_k * g_s[None, None, None], q_pe * g_r[None, None, None],
+                edge_valid, scale,
             )
+        else:
+            sim = (
+                jnp.einsum("bqhd,bqkd->bqkh", q_k * g_s[None, None, None], x_g)
+                + jnp.einsum("bqhd,bqkd->bqkh", q_pe * g_r[None, None, None], z_r)
+                + bias[:, :, None]
+            ) * scale
+            sim = jnp.where(edge_valid[..., None], sim, -jnp.inf)
+            sim_max = jnp.max(sim, axis=2, keepdims=True)
+            sim_max = jnp.where(jnp.isfinite(sim_max), sim_max, 0.0)
+            expw = jnp.where(edge_valid[..., None], jnp.exp(sim - sim_max), 0.0)
+            denom = expw.sum(axis=2, keepdims=True)
+            attn = expw / jnp.maximum(denom, 1e-9)  # [B,Q,K,H]
+            if self.dropout > 0.0 and not deterministic:
+                attn = nn.Dropout(rate=self.dropout, name="attn_drop")(
+                    attn, deterministic=deterministic
+                )
 
-        agg_x = jnp.einsum("bqkh,bqkd->bqhd", attn, x_g)
-        agg_z = jnp.einsum("bqkh,bqkd->bqhd", attn, z_r)
+            agg_x = jnp.einsum("bqkh,bqkd->bqhd", attn, x_g)
+            agg_z = jnp.einsum("bqkh,bqkd->bqhd", attn, z_r)
+            attn_sum = attn.sum(axis=2)  # 1 with >=1 valid neighbor, else 0
         agg_v = jnp.einsum(
             "bqhd,dhe->bqhe", agg_x * g_s[None, None, None], w_v.reshape(D_src, H, hd)
         )
         agg_pe = jnp.einsum(
             "bqhd,dhe->bqhe", agg_z * g_r[None, None, None], w_vr.reshape(D_pe, H, hd)
         )
-        attn_sum = attn.sum(axis=2)  # 1 with >=1 valid neighbor, else 0
         const = (b_s @ w_v + c_v + b_r @ w_vr + c_vr).reshape(H, hd)
         agg = (
             agg_v + agg_pe + const[None, None] * attn_sum[..., None]
