@@ -40,17 +40,67 @@ from prosim_tpu.data.text_conditions import (
     motion_tag_texts,
 )
 
-# hard-priority order between condition types: an agent already covered by an
-# earlier type is masked out of later types (reference: condition_utils.py:866-972)
-PRIORITY_ORDER = ["goal", "drag_point", "v_action_tag", "v2v_tag",
-                  "motion_tag_OneText", "llm_text_OneText"]
-
-
 def _pad_c(arr, C, fill=0):
     out = np.full((C,) + arr.shape[1:], fill, arr.dtype)
     n = min(len(arr), C)
     out[:n] = arr[:n]
     return out
+
+
+def _row_agents(prompt_idx_row) -> List[int]:
+    return [int(a) for a in np.atleast_1d(prompt_idx_row) if a >= 0]
+
+
+def mask_priority_condition(all_cond: Dict[str, dict],
+                            priority_order: List[str]) -> Dict[str, dict]:
+    """Hard priority: each agent keeps only its highest-priority condition
+    type; a row survives only if ALL its agents have this type as their best
+    (reference: condition_utils.py:866-921). Types not listed rank below all
+    listed ones. Mutates and returns all_cond."""
+    n_prio = len(priority_order)
+
+    def prio(ctype):
+        return priority_order.index(ctype) if ctype in priority_order else n_prio
+
+    best: Dict[int, int] = {}
+    for ctype, d in all_cond.items():
+        p = prio(ctype)
+        for r in np.nonzero(d["mask"])[0]:
+            for a in _row_agents(d["prompt_idx"][r]):
+                best[a] = min(best.get(a, n_prio), p)
+    for ctype, d in all_cond.items():
+        p = prio(ctype)
+        for r in np.nonzero(d["mask"])[0]:
+            agents = _row_agents(d["prompt_idx"][r])
+            if not all(best.get(a, n_prio) == p for a in agents):
+                d["mask"][r] = False
+                d["prompt_idx"][r] = -1
+    return all_cond
+
+
+def mask_soft_priority_condition(all_cond: Dict[str, dict],
+                                 priority_scores: Dict[str, float],
+                                 rng) -> Dict[str, float]:
+    """Soft priority: when several rows target the same agent, keep one drawn
+    with probability proportional to its type's score and mask the rest
+    (reference: condition_utils.py:922-972 — agents are resolved in order and
+    a later agent's draw may mask an earlier agent's kept row, as in the
+    reference). Mutates and returns all_cond."""
+    agent_rows: Dict[int, list] = {}
+    for ctype, d in all_cond.items():
+        for r in np.nonzero(d["mask"])[0]:
+            for a in _row_agents(d["prompt_idx"][r]):
+                agent_rows.setdefault(a, []).append((ctype, r))
+    for a in sorted(agent_rows):
+        rows = agent_rows[a]
+        if len(rows) <= 1:
+            continue
+        p = np.asarray([float(priority_scores.get(ct, 1.0)) for ct, _ in rows])
+        keep = int(rng.choice(len(rows), p=p / p.sum()))
+        for i, (ct, r) in enumerate(rows):
+            if i != keep:
+                all_cond[ct]["mask"][r] = False
+    return all_cond
 
 
 class ConditionGenerator:
@@ -259,14 +309,17 @@ class ConditionGenerator:
             raw = filter_to_interval(raw, scene_ts, scene_ts + fut_horizon)
             tags = process_tags(raw, mt_cfg.INTEGRATE_TOLERANCE, mt_cfg.MIN_DURATION)
 
-        out: Dict[str, Condition] = {}
-        covered = np.zeros(N_pad, bool)
         quota = self.cond_cfg.MAX_COND_PER_SCENE
+        import random as _random
 
-        for ctype in sorted(self.types, key=lambda t: PRIORITY_ORDER.index(t)
-                            if t in PRIORITY_ORDER else 99):
-            if "OneText" in ctype:
-                continue  # built after the non-text pass (needs `covered`)
+        prng = _random.Random(int(rng.integers(0, 2**31)))
+
+        # ---- 1. build every configured type as a row dict (reference:
+        # get_batch_condition builds all types before masking,
+        # condition_utils.py:1061-1068). Text rows are (string, slot) pairs
+        # in row form so they participate in priority masking.
+        all_cond: Dict[str, dict] = {}
+        for ctype in self.types:
             if ctype == "goal":
                 data = self.goal_condition(per_scene, rng)
             elif ctype == "v_action_tag":
@@ -284,54 +337,57 @@ class ConditionGenerator:
                     prompt_valid,
                     rng,
                 )
+            elif ctype == "motion_tag_OneText":
+                twv = motion_tag_texts(tags or [], agent_names_by_slot or [], prng)
+                data = self._text_rows(twv)
+            elif ctype == "goal_OneText":
+                data = self._text_rows(goal_texts(per_scene["goal"], prompt_valid))
+            elif ctype == "llm_text_OneText":
+                twv = self._load_llm_texts(scene, agent_names_by_slot)
+                if twv is None:
+                    # no released texts: fall back to templated tags so the
+                    # text path stays exercised
+                    twv = motion_tag_texts(tags or [], agent_names_by_slot or [], prng)
+                data = self._text_rows(twv)
             else:
                 continue
+            all_cond[ctype] = data
 
-            data = self.sample(data, rng, quota_scene=quota)
+        # ---- 2./3. sampling and joint priority masking, in the configured
+        # order (reference: condition_utils.py:1070-1084)
+        def sample_all():
+            for ctype in all_cond:
+                all_cond[ctype] = self.sample(all_cond[ctype], rng,
+                                              quota_scene=quota)
 
-            if self.cond_cfg.USE_PRIORITY_MASK:
-                # drop conditions whose agent is already covered by a
-                # higher-priority type
-                tgt_agents = data["prompt_idx"][:, 0]
-                clash = covered[np.clip(tgt_agents, 0, N_pad - 1)] & data["mask"][:len(tgt_agents)]
-                data["mask"] = data["mask"] & ~clash
+        if self.cond_cfg.USE_PRIORITY_MASK:
+            if self.cond_cfg.SAMPLE_BEFORE_PRIORITY:
+                sample_all()
+            if self.cond_cfg.USE_SOFT_PRIORITY:
+                mask_soft_priority_condition(
+                    all_cond, dict(self.cond_cfg.PRIORITY_SCORES), rng)
+            else:
+                mask_priority_condition(
+                    all_cond, list(self.cond_cfg.PRIORITY_ORDER))
+            if not self.cond_cfg.SAMPLE_BEFORE_PRIORITY:
+                sample_all()
+        else:
+            sample_all()
 
+        # ---- 4. emit Condition containers; OneText rows concatenate into a
+        # single string after masking (reference: condition_utils.py:750-794)
+        out: Dict[str, Condition] = {}
+        llm_cfg = self.config.MODEL.CONDITION_TRANSFORMER.CONDITION_ENCODER.TEXT.LLM
+        for ctype, data in all_cond.items():
             pm = np.zeros(N_pad, bool)
-            valid_rows = data["mask"]
-            for i in np.nonzero(valid_rows)[0]:
-                for j in data["prompt_idx"][i]:
+            for i in np.nonzero(data["mask"])[0]:
+                for j in np.atleast_1d(data["prompt_idx"][i]):
                     if 0 <= j < N_pad:
                         pm[j] = True
-            covered |= pm
 
-            out[ctype] = Condition(
-                feat=_pad_c(data["input"], C)[None],
-                mask=_pad_c(data["mask"], C)[None],
-                prompt_idx=_pad_c(data["prompt_idx"], C, fill=-1)[None].astype(np.int32),
-                prompt_mask=(pm & prompt_valid)[None],
-            )
-
-        # ---- text (OneText) types (reference: condition_utils.py:449-545,750-794)
-        if self.text_types:
-            import random as _random
-
-            llm_cfg = self.config.MODEL.CONDITION_TRANSFORMER.CONDITION_ENCODER.TEXT.LLM
-            prng = _random.Random(int(rng.integers(0, 2**31)))
-            for ctype in self.text_types:
-                if ctype == "motion_tag_OneText":
-                    twv = motion_tag_texts(tags or [], agent_names_by_slot or [], prng)
-                elif ctype == "goal_OneText":
-                    twv = goal_texts(per_scene["goal"], prompt_valid)
-                elif ctype == "llm_text_OneText":
-                    twv = self._load_llm_texts(scene, agent_names_by_slot)
-                    if twv is None:
-                        # no released texts: fall back to templated tags so the
-                        # text path stays exercised
-                        twv = motion_tag_texts(tags or [], agent_names_by_slot or [], prng)
-                else:
-                    continue
-                if self.cond_cfg.USE_PRIORITY_MASK:
-                    twv = [(t, s) for t, s in twv if not covered[s]]
+            if "OneText" in ctype:
+                twv = [(data["input"][i], int(data["prompt_idx"][i, 0]))
+                       for i in np.nonzero(data["mask"])[0]]
                 if self.cond_cfg.OneText.USE_PLACEHOLDER:
                     # ablation: strip semantic content, keep agent reference
                     # (reference: condition_utils.py:275-279)
@@ -340,8 +396,9 @@ class ConditionGenerator:
                          else "placeholder.", s)
                         for _, s in twv
                     ]
-                text, pmask = concat_one_text(twv, N_pad, rng=prng)
-                covered |= pmask
+                text, pmask = concat_one_text(
+                    twv, N_pad,
+                    shuffle=self.cond_cfg.OneText.SHUFFLE_TEXT, rng=prng)
                 out[ctype] = build_one_text_condition(
                     self.tokenizer(), [text], (pmask & prompt_valid)[None],
                     max_len=llm_cfg.MAX_TEXT_TOKENS,
@@ -350,7 +407,30 @@ class ConditionGenerator:
                     use_text_prompt_mask=llm_cfg.USE_TEXT_PROMPT_MASK,
                     agent_valid=prompt_valid[None],
                 )
+            else:
+                out[ctype] = Condition(
+                    feat=_pad_c(data["input"], C)[None],
+                    mask=_pad_c(data["mask"], C)[None],
+                    prompt_idx=_pad_c(data["prompt_idx"], C, fill=-1)[None].astype(np.int32),
+                    prompt_mask=(pm & prompt_valid)[None],
+                )
         return out
+
+    @staticmethod
+    def _text_rows(twv) -> dict:
+        """(text, slot) tuples -> a row dict so text types go through the same
+        sampling/priority machinery as tensor conditions."""
+        if not twv:
+            return {
+                "input": [],
+                "mask": np.zeros((0,), bool),
+                "prompt_idx": np.zeros((0, 1), np.int32),
+            }
+        return {
+            "input": [t for t, _ in twv],
+            "mask": np.ones(len(twv), bool),
+            "prompt_idx": np.asarray([[s] for _, s in twv], np.int32),
+        }
 
     _llm_ids_cache = None
 

@@ -9,6 +9,8 @@ User-facing helpers mirroring the reference demo notebooks
     sim.set_text("stop moving", agents=[11, 12])       # language control
     sim.set_goal(agent=3, xy=(40.0, 5.0))              # goal-point control
     sim.set_drag_points(agent=5, points=[...])         # route sketch
+    sim.set_action_tag(agent=2, tag="LeftTurn")        # action-tag control
+    sim.set_v2v_tag(1, 3, "Following")                 # pair-tag control
     out = sim.rollout()                                # closed loop, 8 s
     sim.plot("scene.png", out)
 """
@@ -158,6 +160,72 @@ class InteractiveSim:
             prompt_idx=jnp.asarray(pidx), prompt_mask=jnp.asarray(pmask),
         )
         self.batch = self.batch.replace(conditions=conds)
+
+    def _upsert_rows(self, ctype: str, feat_row: np.ndarray,
+                     agents: Sequence[int], pidx_width: int):
+        """Insert (or update, when the same agent set already has a row) one
+        condition row of `ctype` (reference: the interactive option builders,
+        condition_utils.py:796-863)."""
+        N, C = self._num_agents(), self._cond_slots()
+        old = self.batch.conditions.get(ctype)
+        if old is None:
+            feat = np.zeros((1, C, len(feat_row)), np.float32)
+            mask = np.zeros((1, C), bool)
+            pidx = -np.ones((1, C, pidx_width), np.int32)
+            pmask = np.zeros((1, N), bool)
+        else:
+            feat = np.asarray(old.feat).copy()
+            mask = np.asarray(old.mask).copy()
+            pidx = np.asarray(old.prompt_idx).copy()
+            pmask = np.asarray(old.prompt_mask).copy()
+        slot = int(np.argmin(mask[0])) if not mask[0].all() else 0
+        for c in np.nonzero(mask[0])[0]:
+            if (pidx[0, c] == np.asarray(agents)).all():
+                slot = c
+                break
+        feat[0, slot] = feat_row
+        mask[0, slot] = True
+        pidx[0, slot] = np.asarray(agents, np.int32)
+        for a in agents:
+            pmask[0, a] = True
+        conds = dict(self.batch.conditions)
+        conds[ctype] = Condition(
+            feat=jnp.asarray(feat), mask=jnp.asarray(mask),
+            prompt_idx=jnp.asarray(pidx), prompt_mask=jnp.asarray(pmask),
+        )
+        self.batch = self.batch.replace(conditions=conds)
+
+    def set_action_tag(self, agent: int, tag: str,
+                       interval: Optional[Tuple[int, int]] = None):
+        """Action-tag control, e.g. set_action_tag(3, "LeftTurn")
+        (reference: v_action_tag_condition_batch_from_option,
+        condition_utils.py:825-860). Tags: see VActionTag."""
+        from prosim_tpu.data.motion_tags import VActionTag
+
+        if tag not in VActionTag.__members__:
+            raise ValueError(
+                f"unknown tag {tag!r}; one of {list(VActionTag.__members__)}")
+        if interval is None:
+            interval = (0, self.config.ROLLOUT.POLICY.MAX_STEPS)
+        row = np.asarray(
+            [VActionTag[tag].value, interval[0], interval[1]], np.float32)
+        self._upsert_rows("v_action_tag", row, [agent], 1)
+
+    def set_v2v_tag(self, agent_a: int, agent_b: int, tag: str,
+                    interval: Optional[Tuple[int, int]] = None):
+        """Pair-tag control, e.g. set_v2v_tag(3, 7, "Following"): agent_a
+        performs `tag` relative to agent_b (reference pair vocabulary,
+        motion_tag_utils.py). Tags: see V2VTag."""
+        from prosim_tpu.data.motion_tags import V2VTag
+
+        if tag not in V2VTag.__members__:
+            raise ValueError(
+                f"unknown tag {tag!r}; one of {list(V2VTag.__members__)}")
+        if interval is None:
+            interval = (0, self.config.ROLLOUT.POLICY.MAX_STEPS)
+        row = np.asarray(
+            [V2VTag[tag].value, interval[0], interval[1]], np.float32)
+        self._upsert_rows("v2v_tag", row, [agent_a, agent_b], 2)
 
     def clear_conditions(self):
         self.batch = self.batch.replace(conditions={})

@@ -392,3 +392,96 @@ def test_v2v_condition_changes_tagged_pair_rollout():
     # the tagged pair's rollout must move
     assert diff[..., 0, 0].max() > 1e-6
     assert diff[..., 0, 1].max() > 1e-6
+
+
+def _rows(mask, pidx):
+    return {
+        "input": np.zeros((len(mask), 3), np.float32),
+        "mask": np.asarray(mask, bool),
+        "prompt_idx": np.asarray(pidx, np.int32),
+    }
+
+
+def test_hard_priority_mask_single_and_pair():
+    from prosim_tpu.data.conditions import mask_priority_condition
+
+    # goal on agents 0,1,2; v2v pair (1,3); tag on agent 3
+    all_cond = {
+        "goal": _rows([1, 1, 1], [[0], [1], [2]]),
+        "v2v_tag": _rows([1], [[1, 3]]),
+        "v_action_tag": _rows([1], [[3]]),
+    }
+    order = ["v2v_tag", "v_action_tag", "goal", "drag_point"]
+    out = mask_priority_condition(all_cond, order)
+    # agent 1's best is v2v -> its goal row dies; pair row survives only if
+    # BOTH agents (1 and 3) have v2v as their best priority -> yes
+    assert out["v2v_tag"]["mask"].tolist() == [True]
+    assert out["goal"]["mask"].tolist() == [True, False, True]
+    # agent 3 best is v2v, so the lower-priority unary tag dies
+    assert out["v_action_tag"]["mask"].tolist() == [False]
+    # masked rows have prompt_idx invalidated (reference behavior)
+    assert out["goal"]["prompt_idx"][1, 0] == -1
+
+
+def test_hard_priority_pair_dies_when_one_agent_outranked():
+    from prosim_tpu.data.conditions import mask_priority_condition
+
+    all_cond = {
+        "goal": _rows([1], [[1]]),
+        "v2v_tag": _rows([1], [[1, 3]]),
+    }
+    # goal outranks v2v here: agent 1's best is goal, so the pair row must die
+    out = mask_priority_condition(all_cond, ["goal", "v2v_tag"])
+    assert out["goal"]["mask"].tolist() == [True]
+    assert out["v2v_tag"]["mask"].tolist() == [False]
+
+
+def test_soft_priority_mask_statistics():
+    from prosim_tpu.data.conditions import mask_soft_priority_condition
+
+    rng = np.random.default_rng(0)
+    keep_goal = 0
+    for _ in range(200):
+        all_cond = {
+            "goal": _rows([1], [[0]]),
+            "drag_point": _rows([1], [[0]]),
+        }
+        out = mask_soft_priority_condition(
+            all_cond, {"goal": 5.0, "drag_point": 1.0}, rng)
+        # exactly one of the two survives
+        alive = out["goal"]["mask"][0] + out["drag_point"]["mask"][0]
+        assert alive == 1
+        keep_goal += int(out["goal"]["mask"][0])
+    # goal should win ~5/6 of the time
+    assert 140 <= keep_goal <= 190
+
+
+def test_generator_text_outranks_goal_with_priority_mask():
+    """With USE_PRIORITY_MASK, text conditions (highest default priority)
+    strip their agents out of the goal condition (reference default
+    PRIORITY_ORDER, config/default.py:344)."""
+    import os
+
+    CACHE = "/root/reference/demo_dataset/trajdata_cache"
+    if not os.path.isdir(CACHE):
+        pytest.skip("demo cache absent")
+    from prosim_tpu.data.dataset import ProSimImitationDataset
+
+    cfg = get_config(opts=[
+        "DATASET.FORMAT.PAD.NUM_LANES", "128",
+        "DATASET.FORMAT.MAP.MAX_POINTS", "128",
+        "DATASET.SOURCE.VAL", "['waymo_train']",
+        "PROMPT.CONDITION.TYPES", "['goal', 'motion_tag_OneText']",
+        "PROMPT.CONDITION.USE_PRIORITY_MASK", "True",
+    ])
+    ds = ProSimImitationDataset(cfg, "val", CACHE)
+    b = ds.get_scene_batch(0)
+    assert "goal" in b.conditions and "motion_tag_OneText" in b.conditions
+    text_pm = np.asarray(b.conditions["motion_tag_OneText"]["prompt_mask"][0],
+                         bool)
+    goal_pm = np.asarray(b.conditions["goal"].prompt_mask[0], bool)
+    assert text_pm.any(), "demo scene should produce tag texts"
+    # no overlap: an agent addressed by text is not goal-conditioned
+    assert not (text_pm & goal_pm).any()
+    # goal still covers the non-text agents (priority masks, not erases)
+    assert goal_pm.any()

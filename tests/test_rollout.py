@@ -146,7 +146,7 @@ def test_interactive_sim_api():
         "DATASET.FORMAT.PAD.NUM_OBS_AGENTS", "24",
         "DATASET.AGENT.SCENE_MAX_AGENT", "16",
         "DATASET.SOURCE.VAL", "['waymo_train']",
-        "PROMPT.CONDITION.TYPES", "['goal']",
+        "PROMPT.CONDITION.TYPES", "['goal', 'v_action_tag', 'v2v_tag']",
     ])
     sim = InteractiveSim(cfg, CACHE)
     sim.load_scene(0)
@@ -156,6 +156,25 @@ def test_interactive_sim_api():
     d = np.abs(np.asarray(out2["rollout_traj"]) - np.asarray(out1["rollout_traj"]))
     assert d.max() > 1e-4  # control changed something
     assert np.isfinite(np.asarray(out2["rollout_traj"])).all()
+    # tag setters (reference interactive option builders,
+    # condition_utils.py:796-863)
+    sim.set_action_tag(2, "Stopping")
+    sim.set_v2v_tag(1, 3, "Following")
+    with pytest.raises(ValueError):
+        sim.set_action_tag(2, "NotATag")
+    out3 = sim.rollout()
+    d = np.abs(np.asarray(out3["rollout_traj"]) - np.asarray(out2["rollout_traj"]))
+    assert d.max() > 1e-4
+    assert np.isfinite(np.asarray(out3["rollout_traj"])).all()
+    from prosim_tpu.data.motion_tags import V2VTag
+
+    vt = sim.batch.conditions["v2v_tag"]
+    pidx = np.asarray(vt.prompt_idx)[0]
+    mask = np.asarray(vt.mask)[0]
+    feat = np.asarray(vt.feat)[0]
+    rows = np.nonzero(mask & (pidx[:, 0] == 1) & (pidx[:, 1] == 3))[0]
+    assert len(rows) == 1
+    assert feat[rows[0], 0] == V2VTag["Following"].value
     p = sim.plot("/tmp/test_sim.png", out2)
     assert os.path.getsize(p) > 1000
     g = sim.animate("/tmp/test_sim.gif", out2, stride=20)
