@@ -51,18 +51,30 @@ class V2VTag(IntEnum):
     Overtaking = 4
 
 
-# tags that cannot coexist on the same agent at the same time; on overlap the
-# earlier tag in the priority list wins
-EXCLUSION_GROUPS = [
-    ["Parked", "Stopping", "Accelerate", "Decelerate", "KeepSpeed"],
-    ["LeftTurn", "RightTurn", "Straight"],
-    ["LeftLaneChange", "RightLaneChange", "KeepLane"],
-]
-PRIORITY = {t: i for i, t in enumerate([
-    "Parked", "Stopping", "LeftTurn", "RightTurn", "LeftLaneChange",
-    "RightLaneChange", "Accelerate", "Decelerate", "KeepSpeed", "Straight",
-    "KeepLane",
-])}
+# per-tag exclusion lists and priorities, matching the reference values
+# exactly (reference: motion_tag_utils.py:111-138). The map is asymmetric
+# (e.g. KeepSpeed excludes Decelerate but not vice versa) and lower priority
+# number wins on overlap; ties split at the later tag's start.
+EXCLUSION_MAP = {
+    "Accelerate": ("Stopping", "Decelerate", "KeepSpeed", "Parked"),
+    "Stopping": ("Accelerate", "KeepSpeed", "Parked"),
+    "Decelerate": ("Accelerate", "Stopping", "Parked"),
+    "KeepSpeed": ("Accelerate", "Stopping", "Decelerate", "Parked"),
+    "Parked": ("Accelerate", "Stopping", "Decelerate", "KeepSpeed",
+               "Straight", "KeepLane"),
+    "LeftTurn": ("RightTurn", "Straight"),
+    "RightTurn": ("LeftTurn", "Straight"),
+    "Straight": ("LeftTurn", "RightTurn", "Parked"),
+    "LeftLaneChange": ("RightLaneChange", "KeepLane"),
+    "RightLaneChange": ("LeftLaneChange", "KeepLane"),
+    "KeepLane": ("LeftLaneChange", "RightLaneChange", "Parked"),
+}
+PRIORITY = {
+    "LeftTurn": 1, "RightTurn": 1, "Straight": 3,
+    "LeftLaneChange": 1, "RightLaneChange": 1, "KeepLane": 3,
+    "Accelerate": 1, "Stopping": 1, "Decelerate": 1, "KeepSpeed": 3,
+    "Parked": 2,
+}
 
 
 @dataclass
@@ -100,33 +112,54 @@ def remove_short_tags(tags: List[MotionTag], min_duration: int) -> List[MotionTa
 
 
 def resolve_conflicts(tags: List[MotionTag]) -> List[MotionTag]:
-    """Within each exclusion group, trim/drop lower-priority overlaps."""
-    out = list(tags)
-    for group in EXCLUSION_GROUPS:
-        gset = set(group)
-        members = sorted(
-            [t for t in out if t.tag in gset],
-            key=lambda t: PRIORITY.get(t.tag, 99),
-        )
-        kept: List[MotionTag] = []
-        for t in members:
-            s, e = t.interval
-            for k in kept:
-                if k.agents != t.agents:
-                    continue
-                ks, ke = k.interval
-                if s < ke and e > ks:  # overlap: trim t around k
-                    if s >= ks and e <= ke:
-                        s, e = 0, -1  # fully covered -> drop
-                        break
-                    if s < ks:
-                        e = min(e, ks)
-                    else:
-                        s = max(s, ke)
-            if e > s:
-                kept.append(MotionTag(t.tag, t.agents, (s, e), t.type))
-        out = [t for t in out if t.tag not in gset] + kept
-    return out
+    """Sweep tags in start order, trimming overlaps between mutually
+    exclusive same-agent tags by priority; equal priorities split at the
+    later tag's start. Semantics match the reference sweep exactly
+    (resolve_and_adjust_conflicts, motion_tag_utils.py:140-211; fuzz
+    parity-tested in tests/test_reference_parity.py), including the final
+    adjacent-run merge."""
+    inf = float("inf")
+    current: List[MotionTag] = []
+    for tag in sorted(tags, key=lambda t: t.interval[0]):
+        ns, ne = tag.interval
+        p_new = PRIORITY.get(tag.tag, inf)
+        adjusted: List[MotionTag] = []
+        for cur in current:
+            cs, ce = cur.interval
+            p_cur = PRIORITY.get(cur.tag, inf)
+            if (tag.agents == cur.agents
+                    and tag.tag in EXCLUSION_MAP.get(cur.tag, ())
+                    and max(cs, ns) < min(ce, ne)):
+                if p_cur < p_new:
+                    ns = ce          # push the new tag past the current one
+                elif p_new < p_cur:
+                    if cs < ns:      # keep the current tag's head
+                        adjusted.append(
+                            MotionTag(cur.tag, cur.agents, (cs, ns), cur.type))
+                    ce = ns
+                elif ns > cs:        # tie: split at the later start
+                    adjusted.append(
+                        MotionTag(cur.tag, cur.agents, (cs, ns), cur.type))
+                    ce = ns
+            if cs < ce:
+                adjusted.append(MotionTag(cur.tag, cur.agents, (cs, ce), cur.type))
+        if ns < ne:
+            adjusted.append(MotionTag(tag.tag, tag.agents, (ns, ne), tag.type))
+        current = adjusted
+    if not current:
+        return []
+    merged = [current[0]]
+    for t in current[1:]:
+        last = merged[-1]
+        if (t.tag == last.tag and t.agents == last.agents
+                and t.interval[0] <= last.interval[1]):
+            merged[-1] = MotionTag(
+                last.tag, last.agents,
+                (last.interval[0], max(last.interval[1], t.interval[1])),
+                last.type)
+        else:
+            merged.append(t)
+    return merged
 
 
 def process_tags(tags, tolerance: int, min_duration: int) -> List[MotionTag]:

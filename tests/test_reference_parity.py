@@ -556,3 +556,114 @@ class TestWosacBoxDistanceParity:
             xy[:, 1, 0], h[:, 1, 0], ext[:, 1],
         )
         np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+# ------------------------------------------------------- motion-tag utils
+class TestMotionTagProcessing:
+    """Fuzz parity of interval post-processing against the reference
+    motion_tag_utils (stdlib-only; imported in place)."""
+
+    @staticmethod
+    def _ref_mod():
+        import importlib
+
+        return importlib.import_module("prosim.dataset.motion_tag_utils")
+
+    @staticmethod
+    def _ours(tags):
+        from prosim_tpu.data.motion_tags import MotionTag
+
+        return [MotionTag(t["tag"], tuple(t["agents"]), tuple(t["interval"]),
+                          t["type"]) for t in tags]
+
+    @staticmethod
+    def _as_set(tag_dicts):
+        return sorted((d["tag"], tuple(d["agents"]), tuple(d["interval"]))
+                      for d in tag_dicts)
+
+    @staticmethod
+    def _ours_as_set(tags):
+        return sorted((t.tag, tuple(t.agents), tuple(t.interval))
+                      for t in tags)
+
+    def _random_tags(self, rng, n):
+        names = ["Stopping", "Accelerate", "Decelerate", "KeepSpeed",
+                 "LeftLaneChange", "RightLaneChange", "KeepLane", "LeftTurn",
+                 "RightTurn", "Straight", "Parked"]
+        out = []
+        for _ in range(n):
+            tag = names[rng.integers(len(names))]
+            agents = [["a"], ["b"], ["a", "b"]][rng.integers(3)]
+            s = int(rng.integers(0, 80))
+            e = s + int(rng.integers(1, 40))
+            out.append({"tag": tag, "agents": agents, "interval": (s, e),
+                        "type": "unary" if len(agents) == 1 else "binary"})
+        return out
+
+    def test_integrate_parity_fuzz(self):
+        mtu = self._ref_mod()
+        from prosim_tpu.data.motion_tags import integrate_tags
+
+        rng = np.random.default_rng(1)
+        for trial in range(50):
+            tags = self._random_tags(rng, int(rng.integers(1, 25)))
+            tol = int(rng.integers(0, 15))
+            ref_out = mtu.integrate_motion_tags(
+                {"s": mtu.MotionTags([tags])}, tolerance=tol)
+            ref_set = self._as_set(ref_out["s"].motion_tags[0])
+            ours = self._ours_as_set(integrate_tags(self._ours(tags), tol))
+            assert ours == ref_set, f"trial {trial}"
+
+    def test_remove_short_parity_fuzz(self):
+        mtu = self._ref_mod()
+        from prosim_tpu.data.motion_tags import remove_short_tags
+
+        rng = np.random.default_rng(2)
+        for trial in range(20):
+            tags = self._random_tags(rng, int(rng.integers(1, 25)))
+            md = int(rng.integers(0, 30))
+            ref_out = mtu.remove_short_motion_tags(
+                {"s": mtu.MotionTags([tags])}, min_duration=md)
+            ref_set = self._as_set(ref_out["s"].motion_tags[0])
+            ours = self._ours_as_set(remove_short_tags(self._ours(tags), md))
+            assert ours == ref_set, f"trial {trial}"
+
+    def test_resolve_conflicts_parity_fuzz(self):
+        mtu = self._ref_mod()
+        from prosim_tpu.data.motion_tags import resolve_conflicts
+
+        rng = np.random.default_rng(3)
+        for trial in range(100):
+            tags = self._random_tags(rng, int(rng.integers(1, 20)))
+            ref_out = mtu.resolve_and_adjust_conflicts(
+                {"s": mtu.MotionTags([tags])},
+                mtu.exclusion_groups, mtu.priority_dict)
+            ref_set = self._as_set(ref_out["s"].motion_tags[0])
+            ours = self._ours_as_set(resolve_conflicts(self._ours(tags)))
+            assert ours == ref_set, f"trial {trial}"
+
+    def test_full_chain_parity_fuzz(self):
+        """integrate -> remove-short -> resolve, the process_tags order."""
+        mtu = self._ref_mod()
+        from prosim_tpu.data.motion_tags import process_tags
+
+        rng = np.random.default_rng(4)
+        for trial in range(30):
+            tags = self._random_tags(rng, int(rng.integers(1, 25)))
+            snap = {"s": mtu.MotionTags([tags])}
+            snap = mtu.integrate_motion_tags(snap, tolerance=10)
+            snap = mtu.remove_short_motion_tags(snap, min_duration=10)
+            snap = mtu.resolve_and_adjust_conflicts(
+                snap, mtu.exclusion_groups, mtu.priority_dict)
+            ref_set = self._as_set(snap["s"].motion_tags[0])
+            ours = self._ours_as_set(process_tags(self._ours(tags), 10, 10))
+            assert ours == ref_set, f"trial {trial}"
+
+    def test_enum_values_match(self):
+        mtu = self._ref_mod()
+        from prosim_tpu.data.motion_tags import V2VTag, VActionTag
+
+        for m in mtu.V_Action_MotionTag:
+            assert VActionTag[m.name].value == m.value
+        for m in mtu.V2V_MotionTag:
+            assert V2VTag[m.name].value == m.value
