@@ -72,7 +72,8 @@ def run_exp(run_type: str, exp_config, opts, cache_dir=None):
         if config.PROMPT.CONDITION.EVAL_COND_SETS:
             print(trainer.evaluate_cond_sets(cache_dir))
         else:
-            print(trainer.evaluate(lambda: val_ds.batches(config.VAL.BATCH_SIZE)))
+            print(trainer.evaluate(lambda: val_ds.batches(config.VAL.BATCH_SIZE),
+                                   save_tag="val"))
         return
 
     if run_type == "rollout":

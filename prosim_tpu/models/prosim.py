@@ -243,16 +243,30 @@ class ProSim:
         policy_emd = self.select_k_emd(policy_emd, batch, mode, sel_rng)
         return scene, policy_emd, prompt_loss_aux
 
+    def _remat_policy(self):
+        """TRAIN.REMAT_POLICY -> jax.checkpoint policy: None recomputes
+        everything, dots_saveable keeps matmul outputs (more HBM, less
+        recompute), False disables remat."""
+        pol = self.config.TRAIN.REMAT_POLICY
+        if pol == "full":
+            return None
+        if pol == "dots":
+            return jax.checkpoint_policies.dots_saveable
+        if pol == "none":
+            return False
+        raise ValueError(f"unknown TRAIN.REMAT_POLICY {pol!r}")
+
     def forward(self, params, batch: SceneBatch, mode: str, rng):
         """Full closed-loop pass. Returns output dict with stacked per-step
         predictions and final rollout trajectories."""
         rng, prep_rng = jax.random.split(rng)
         prepare = self.prepare
-        if mode == "train":
+        if mode == "train" and self._remat_policy() is not False:
             # remat the encode/decode stage too: its attention activations
             # otherwise stay resident across the whole scan for backward
             prepare = jax.checkpoint(
-                lambda p, b, k: self.prepare(p, b, mode, k), static_argnums=()
+                lambda p, b, k: self.prepare(p, b, mode, k),
+                policy=self._remat_policy(),
             )
             scene, policy_emd, prompt_loss_aux = prepare(params, batch, prep_rng)
         else:
@@ -423,12 +437,12 @@ class ProSim:
                 ys["reconst_pred"] = out["reconst_pred"]
             return carry, ys
 
-        if mode == "train":
+        if mode == "train" and self._remat_policy() is not False:
             # rematerialize the step in backward: storing every step's
             # attention activations for the whole scan needs ~50 GB HBM at
             # batch 8; recomputing them trades ~1 extra forward for fitting
             # training on one chip
-            body = jax.checkpoint(body)
+            body = jax.checkpoint(body, policy=self._remat_policy())
 
         carry0 = (scene.tokens, scene.pos, scene.ori, scene.mask, traj, vel, rng)
         carry, ys = jax.lax.scan(body, carry0, jnp.arange(R))

@@ -144,7 +144,7 @@ class Trainer:
         return self.params
 
     # ------------------------------------------------------------------- eval
-    def evaluate(self, val_batches) -> Dict[str, float]:
+    def evaluate(self, val_batches, save_tag: Optional[str] = None) -> Dict[str, float]:
         rng = jax.random.PRNGKey(0)
         states = []
         losses_acc = []
@@ -157,9 +157,15 @@ class Trainer:
             losses_acc.append(float(losses["full_loss"]))
             if vis_pair is None and self.config.ENABLE_VIS:
                 vis_pair = (batch, output)
-        metrics = compute_metrics(merge_metric_states(states)) if states else {}
+        merged = merge_metric_states(states) if states else {}
+        metrics = compute_metrics(merged) if states else {}
         metrics["full_loss"] = float(np.mean(losses_acc)) if losses_acc else float("nan")
         self.log({"step": self.step, **{f"val/{k}": v for k, v in metrics.items()}})
+        if save_tag:
+            # raw metric-state arrays + scalars for offline analysis
+            # (reference: trainer.py:287-292 _save_metric -> {mode}_metrics.npy)
+            np.save(os.path.join(self.run_dir, f"{save_tag}_metrics.npy"),
+                    {"metrics": metrics, "state": merged})
         if vis_pair is not None:
             self.visualization_callback(*vis_pair)
         return metrics

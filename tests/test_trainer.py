@@ -68,8 +68,16 @@ def test_fit_two_steps_loss_finite_params_move(trained):
 
 def test_evaluate_returns_metrics(trained):
     cfg, trainer, batch = trained
-    metrics = trainer.evaluate([batch])
+    metrics = trainer.evaluate([batch], save_tag="val")
     assert np.isfinite(metrics["full_loss"])
+    # raw metric arrays dumped for offline analysis (reference:
+    # trainer.py:287-292 _save_metric)
+    import os
+
+    dump = np.load(os.path.join(trainer.run_dir, "val_metrics.npy"),
+                   allow_pickle=True).item()
+    assert set(dump) == {"metrics", "state"}
+    assert dump["metrics"]["full_loss"] == metrics["full_loss"]
 
 
 def test_checkpoint_strips_llm_body_keeps_lora(trained):
