@@ -1,0 +1,159 @@
+"""End-to-end training evidence on the real demo cache.
+
+Trains the full demo architecture (goal-conditioned) on the 16 cached Waymo
+scenes, then evaluates the SAME checkpoints three ways:
+
+  1. imitation metrics (ADE/FDE/rollout ADE) before vs after training,
+  2. WOSAC realism composite of the trained policy vs random init,
+  3. the const-velocity baseline as the floor.
+
+Artifacts land in --out (default runs/demo_evidence): log.jsonl with the
+loss curve, orbax checkpoints, and evidence.json with the before/after
+numbers. This is the single strongest "the framework actually learns"
+check that fits one chip + the bundled data (the reference's analogue is
+watching train/full_loss + rollout_callback metrics in wandb).
+
+Usage:
+    python scripts/train_demo_evidence.py [--steps 400] [--batch 16] [--cpu]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cache-dir",
+                    default="/root/reference/demo_dataset/trajdata_cache")
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--m", type=int, default=8, help="WOSAC rollout replicas")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--small", action="store_true",
+                    help="small arch + padding (CI/CPU smoke)")
+    ap.add_argument("--out", default="runs/demo_evidence")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import numpy as np
+
+    from prosim_tpu.config import get_config
+    from prosim_tpu.data.dataset import ProSimImitationDataset
+    from prosim_tpu.data.formatter import collate
+    from prosim_tpu.train.trainer import Trainer
+
+    opts = [
+        "DATASET.SOURCE.TRAIN", "['waymo_train']",
+        "DATASET.SOURCE.VAL", "['waymo_train']",
+        "DATASET.SOURCE.ROLLOUT", "['waymo_train']",
+        "PROMPT.CONDITION.TYPES", "['goal']",
+        "TRAIN.LR", str(args.lr),
+        "TRAIN.BATCH_SIZE", str(args.batch),
+        "TRAIN.SCHEDULER.WARMUP_STEPS", "50",
+        "TRAIN.SCHEDULER.MAX_STEPS", str(max(args.steps, 100)),
+        "CHECKPOINT_INTERVAL", "100",
+        "EXPERIMENT_DIR", os.path.dirname(args.out) or ".",
+        "EXPERIMENT_NAME", os.path.basename(args.out),
+        "MODEL.DTYPE", "bfloat16",
+    ]
+    if args.small:
+        opts += [
+            "DATASET.FORMAT.MAP.MAX_POINTS", "128",
+            "DATASET.FORMAT.PAD.NUM_LANES", "128",
+            "DATASET.FORMAT.PAD.NUM_OBS_AGENTS", "24",
+            "DATASET.FORMAT.PAD.NUM_AGENTS", "16",
+            "DATASET.AGENT.SCENE_MAX_AGENT", "16",
+            "MODEL.HIDDEN_DIM", "32",
+            "MODEL.SCENE_ENCODER.ATTN.NUM_LAYER", "2",
+            "MODEL.DECODER.ATTN.NUM_LAYER", "2",
+            "MODEL.POLICY.ACT_DECODER.ATTN.NUM_LAYER", "2",
+            "MODEL.SCENE_ENCODER.ATTN.FF_DIM", "4",
+            "MODEL.DECODER.ATTN.FF_DIM", "4",
+            "MODEL.POLICY.ACT_DECODER.ATTN.FF_DIM", "4",
+            "MODEL.SCENE_ENCODER.ATTN.MAX_NUM_NEIGH", "8",
+            "MODEL.DECODER.ATTN.MAX_NUM_NEIGH", "8",
+            "MODEL.POLICY.ACT_DECODER.ATTN.MAX_NUM_NEIGH", "8",
+        ]
+    config = get_config(opts=opts)
+
+    os.makedirs(args.out, exist_ok=True)
+    train_ds = ProSimImitationDataset(config, "train", args.cache_dir)
+    val_ds = ProSimImitationDataset(config, "val", args.cache_dir)
+    print(f"{len(train_ds)} scenes in cache", flush=True)
+
+    def batches(split_ds, bs, shuffle, seed=0):
+        def gen():
+            return split_ds.batches(bs, shuffle=shuffle, seed=seed,
+                                    drop_last=False)
+        return gen
+
+    trainer = Trainer(config)
+    first = next(iter(train_ds.batches(args.batch, drop_last=False)))
+    trainer.setup(first)
+
+    val_bs = min(args.batch, len(val_ds))
+    evidence = {"steps": args.steps, "batch": args.batch, "lr": args.lr}
+
+    t0 = time.time()
+    before = trainer.evaluate(batches(val_ds, val_bs, False))
+    evidence["val_before"] = before
+    roll_before = trainer.rollout_callback(batches(val_ds, val_bs, False))
+    evidence["rollout_before"] = roll_before
+    print("before:", json.dumps(before), flush=True)
+
+    trainer.fit(batches(train_ds, args.batch, True), max_steps=args.steps)
+    evidence["train_wall_s"] = round(time.time() - t0, 1)
+
+    after = trainer.evaluate(batches(val_ds, val_bs, False))
+    evidence["val_after"] = after
+    roll_after = trainer.rollout_callback(batches(val_ds, val_bs, False))
+    evidence["rollout_after"] = roll_after
+    print("after:", json.dumps(after), flush=True)
+
+    # WOSAC realism: trained vs random init vs const-vel floor
+    from prosim_tpu.rollout import runner
+    from prosim_tpu.rollout.baseline import run_constant_velocity_eval
+
+    wosac_dir = os.path.join(args.out, "wosac_trained")
+    runner.run_rollout_eval(config, args.cache_dir, out_dir=wosac_dir,
+                            m=args.m, params=trainer.params)
+    with open(os.path.join(wosac_dir, "wosac_metrics.json")) as f:
+        evidence["wosac_trained"] = json.load(f)
+
+    import jax.random as jrand
+
+    rand_params = trainer.model.init(jrand.PRNGKey(123), first)
+    wosac_rand = os.path.join(args.out, "wosac_random")
+    runner.run_rollout_eval(config, args.cache_dir, out_dir=wosac_rand,
+                            m=args.m, params=rand_params)
+    with open(os.path.join(wosac_rand, "wosac_metrics.json")) as f:
+        evidence["wosac_random"] = json.load(f)
+
+    try:
+        evidence["wosac_const_vel"] = run_constant_velocity_eval(
+            config, args.cache_dir, max_scenes=len(val_ds))
+    except Exception as e:  # baseline is informative, not load-bearing
+        evidence["wosac_const_vel_error"] = str(e)
+
+    with open(os.path.join(args.out, "evidence.json"), "w") as f:
+        json.dump(evidence, f, indent=2, default=float)
+    print(json.dumps({k: evidence[k] for k in
+                      ("val_before", "val_after", "train_wall_s")},
+                     default=float), flush=True)
+    print("evidence ->", os.path.join(args.out, "evidence.json"), flush=True)
+
+
+if __name__ == "__main__":
+    main()
