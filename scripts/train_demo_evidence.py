@@ -47,11 +47,8 @@ def main():
     else:
         jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import numpy as np
-
     from prosim_tpu.config import get_config
     from prosim_tpu.data.dataset import ProSimImitationDataset
-    from prosim_tpu.data.formatter import collate
     from prosim_tpu.train.trainer import Trainer
 
     opts = [
