@@ -58,6 +58,7 @@ class PolicyRelPE(nn.Module):
     not_use_map: bool = False
     dropout: float = 0.0
     fused_stack: bool = True
+    edge_kernel: bool = True
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -76,14 +77,16 @@ class PolicyRelPE(nn.Module):
         self.a2p_layers = [
             GatedNeighborAttention(
                 hidden_dim=self.hidden_dim, num_heads=self.num_heads, head_dim=self.head_dim,
-                bipartite=True, dropout=self.dropout, dtype=self.dtype, name=f"a2p_{i}",
+                bipartite=True, dropout=self.dropout, dtype=self.dtype,
+                edge_kernel=self.edge_kernel, name=f"a2p_{i}",
             )
             for i in range(self.num_layers)
         ]
         self.m2p_layers = [
             GatedNeighborAttention(
                 hidden_dim=self.hidden_dim, num_heads=self.num_heads, head_dim=self.head_dim,
-                bipartite=True, dropout=self.dropout, dtype=self.dtype, name=f"m2p_{i}",
+                bipartite=True, dropout=self.dropout, dtype=self.dtype,
+                edge_kernel=self.edge_kernel, name=f"m2p_{i}",
             )
             for i in range(self.num_layers)
         ]
@@ -325,5 +328,6 @@ def build_policy(config, dtype=jnp.float32) -> PolicyRelPE:
         not_use_map=attn.NOT_USE_MAP,
         dropout=attn.DROPOUT,
         fused_stack=attn.FUSED_STACK,
+        edge_kernel=attn.EDGE_KERNEL,
         dtype=dtype,
     )

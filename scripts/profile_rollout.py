@@ -21,7 +21,55 @@ import jax
 import jax.numpy as jnp
 
 
-def parse_trace(trace_dir, top=40):
+def load_hlo_metadata(dump_dir):
+    """Map op names -> source metadata from an --xla_dump_to text dump.
+
+    For fusions, collect the metadata of every op INSIDE the fused
+    computation so trace time can be attributed to model source lines."""
+    import re
+
+    meta = {}          # op name -> set of "file:line op_type"
+    fusion_calls = {}  # fusion op name -> called computation name
+    comp_ops = {}      # computation name -> set of metadata strings
+    files = sorted(glob.glob(f"{dump_dir}/*jit__lambda*.txt")) or sorted(
+        glob.glob(f"{dump_dir}/*.txt"))
+    if not files:
+        return {}
+    # prefer the largest (optimized) module text
+    path = max(files, key=lambda p: Path(p).stat().st_size)
+    cur_comp = None
+    for line in open(path):
+        m = re.match(r"^(?:ENTRY )?%?([\w\.\-]+)[^=]*\([^)]*\)\s*->", line)
+        if m and "{" in line:
+            cur_comp = m.group(1)
+            comp_ops.setdefault(cur_comp, set())
+            continue
+        om = re.search(r"%?([\w\.\-]+) = ", line)
+        if not om:
+            continue
+        name = om.group(1)
+        md = re.search(r'metadata=\{[^}]*op_name="([^"]*)"', line)
+        src = re.search(r'source_file="([^"]*)"[^}]*source_line=(\d+)', line)
+        tag = ""
+        if md:
+            tag = md.group(1)
+        if src:
+            tag += f" [{Path(src.group(1)).name}:{src.group(2)}]"
+        fc = re.search(r'(?:fusion|calls)=%?([\w\.\-]+)', line)
+        if "fusion(" in line and fc:
+            fusion_calls[name] = fc.group(1)
+        if tag and cur_comp:
+            comp_ops[cur_comp].add(tag)
+        if tag:
+            meta.setdefault(name, set()).add(tag)
+    # expand fusions to their computations' metadata
+    for fname, cname in fusion_calls.items():
+        if cname in comp_ops:
+            meta.setdefault(fname, set()).update(comp_ops[cname])
+    return meta
+
+
+def parse_trace(trace_dir, top=40, hlo_meta=None):
     files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
     assert files, f"no trace under {trace_dir}"
     with gzip.open(sorted(files)[-1], "rt") as f:
@@ -47,6 +95,9 @@ def parse_trace(trace_dir, top=40):
     print(f"\ndevice-track total: {total:.1f} ms over {len(agg)} op names")
     for name, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
         print(f"{ms:10.1f} ms  {100*ms/max(total,1e-9):5.1f}%  {name[:110]}")
+        if hlo_meta and name in hlo_meta:
+            for tag in sorted(hlo_meta[name])[:6]:
+                print(f"{'':22s}| {tag[:120]}")
     return agg
 
 
@@ -60,11 +111,14 @@ def main():
     ap.add_argument("--mode", default="rollout", choices=["rollout", "train"])
     ap.add_argument("--out", default="/tmp/prosim_profile")
     ap.add_argument("--parse-only", default=None)
+    ap.add_argument("--hlo-dump", default=None,
+                    help="--xla_dump_to dir; joins op times to source lines")
     ap.add_argument("--opts", nargs="*", default=[])
     args = ap.parse_args()
 
     if args.parse_only:
-        parse_trace(args.parse_only)
+        meta = load_hlo_metadata(args.hlo_dump) if args.hlo_dump else None
+        parse_trace(args.parse_only, hlo_meta=meta)
         return
 
     from prosim_tpu.config import get_config
@@ -110,7 +164,8 @@ def main():
                 out = fwd(params, batch, jax.random.fold_in(key, i))
             float(out)
 
-    parse_trace(args.out)
+    meta = load_hlo_metadata(args.hlo_dump) if args.hlo_dump else None
+    parse_trace(args.out, hlo_meta=meta)
 
 
 if __name__ == "__main__":
