@@ -227,9 +227,9 @@ class SceneEncoderAttnRelPE(nn.Module):
             rel_pe_features(obs_pos, obs_ori, obs_pos, obs_ori, a2a_idx, self.learnable_pe)
         )
 
-        # small-k selection over the full token grid: the Pallas iterative
-        # argmin kernel avoids materializing + sorting the [B,S,S] distance
-        # matrix (178 ms in the XLA path at S=2304, k=32)
+        # small-k selection over the full token grid; at the current shapes
+        # neighbor_topk_auto resolves to the XLA approx_max_k path, which
+        # measures faster than the Pallas argmin kernel (see pallas_topk.py)
         s2s_idx, s2s_valid = neighbor_topk_auto(
             scene.pos, scene.pos, scene.mask, scene.mask, k=self.max_neigh
         )

@@ -34,7 +34,16 @@ def pallas_topk_supported(s: int, k: int, q_tile: int = 128) -> bool:
 
 def neighbor_topk_auto(dst_pos, src_pos, dst_mask, src_mask, k,
                        radius=None, q_tile=128):
-    """Pallas kernel when its VMEM envelope allows, else the XLA path."""
+    """Pallas kernel when its VMEM envelope allows, else the XLA path.
+
+    CONCLUDED (v5e, B=64, S=2208, k=32 - the scene-token-graph shape):
+    q_tile=128 exceeds the scoped-VMEM budget, and the VMEM-fitting tiles
+    measure WORSE than the XLA path (q_tile=32: 305 ms, q_tile=56: 319 ms
+    vs lax.top_k / exact-set approx_max_k 169 ms) - the k-iteration argmin
+    eviction re-scans the whole [q_tile, S] distance tile per selected
+    neighbor, so small tiles pay k full passes with little reuse. The XLA
+    fallback here is therefore the fast path at every current model shape;
+    the kernel stays for genuinely small-S/smaller-k regimes."""
     from prosim_tpu.ops.neighbors import neighbor_topk
 
     s = src_pos.shape[1]
