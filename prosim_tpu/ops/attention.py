@@ -64,9 +64,15 @@ class RelPE(nn.Module):
             )(pe_input)
         # cast to the model dtype: under bf16 the [B, Q, K, D] PE tensors are
         # the largest HBM residents in the rollout/training graphs
-        return FourierEmbeddingFix(
+        emb = FourierEmbeddingFix(
             num_pos_feats=self.hidden_dim // 4, name="fourier_fix"
         )(pe_input).astype(self.dtype)
+        # materialize once: the downstream parameter-free LayerNorm makes
+        # three passes (two reductions + normalize) over this tensor, and
+        # without a barrier XLA rematerializes the whole transcendental
+        # chain into every pass (profiled at ~64 ms/step on the rollout's
+        # m2p PE); reading the materialized bf16 row back is far cheaper.
+        return jax.lax.optimization_barrier(emb)
 
 
 class _AffineParams(nn.Module):

@@ -27,19 +27,19 @@ class FourierEmbeddingFix(nn.Module):
         # tensor, stack, interleave-reshape) leaves only npf/2 = 16 of 128
         # VPU lanes live and lowers the strided slices to gathers - profiled
         # at ~40 ms/step on the rollout's m2p PE ([B,N,K,4,32] at B=64).
-        # Identical math on the flattened [..., D*npf] row: position
-        # j = d*npf + i holds sin(scaled[d,i]) for even i and cos(scaled[d,i])
-        # for odd i, i.e. one full-width where(even, sin, cos) select - both
-        # transcendentals run over all 128 lanes and nothing is strided.
+        # Same math on the flattened [..., D*npf] row: position j = d*npf + i
+        # holds sin(scaled[d,i]) for even i and cos(scaled[d,i]) for odd i;
+        # with cos(t) = sin(t + pi/2) the whole row is ONE full-width sin
+        # with a per-lane phase - no strided slices, a single transcendental
+        # pass. (Phase addition and 2pi/t prescaling associate differently
+        # from the textbook form: ~1 ulp, well inside the 1e-4 parity tol.)
         npf = int(self.num_pos_feats)
         d = x.shape[-1]
         dim_t = jnp.arange(npf, dtype=jnp.float32)
-        dim_t = self.temperature ** (2 * (dim_t // 2) / npf)
-        flat = ((x * (2 * math.pi))[..., None] / dim_t).reshape(
-            *x.shape[:-1], d * npf
-        )
-        even = jnp.tile(jnp.arange(npf) % 2 == 0, d)
-        return jnp.where(even, jnp.sin(flat), jnp.cos(flat))
+        inv_t = (2 * math.pi) / self.temperature ** (2 * (dim_t // 2) / npf)
+        phase = jnp.where(jnp.arange(npf) % 2 == 0, 0.0, 0.5 * math.pi)
+        flat = (x[..., None] * inv_t + phase).reshape(*x.shape[:-1], d * npf)
+        return jnp.sin(flat)
 
 
 class FourierEmbedding(nn.Module):

@@ -62,17 +62,30 @@ def neighbor_topk(
     # are pure waste (still static shapes: S is static).
     s = d2.shape[-1]
     eff_k = min(k, s)
-    if jax.default_backend() == "tpu" and s > 4 * eff_k:
-        # TPU PartialReduce: lax.top_k lowers to a full [B,Q,S] variadic sort
-        # (measured 194 ms at B=64, Q=S=2208, k=32 on v5e); approx_max_k with
-        # recall_target=1.0 returns the exact top-k SET via two-level
-        # reduction (~15% faster, set-equality verified in
-        # scripts/tpu_topk_bench.py). Attention is permutation-invariant over
-        # the neighbor axis, so candidate ordering differences don't matter.
-        neg_d, idx = jax.lax.approx_max_k(-d2, eff_k, recall_target=1.0)
+    if jax.default_backend() == "tpu":
+        # TPU sort/PartialReduce cost is bound by the key width: selecting on
+        # bf16-rounded squared distances halves it (measured 6.9 vs 8.2 ms at
+        # the m2p shape). Neighbors whose d2 differ by less than bf16's 8-bit
+        # mantissa (<0.4%) may swap in/out of the selected set at the k-th
+        # rank boundary - geometrically interchangeable candidates, and still
+        # a strict refinement of torch_cluster's ARBITRARY max_num_neighbors
+        # truncation that defines the reference semantics
+        # (attn_fusion.py:107-109). Masked/out-of-radius pairs stay +inf in
+        # bf16, so validity is exact. CPU (all tests) keeps exact f32 keys.
+        key_d2 = d2.astype(jnp.bfloat16)
+        if s > 4 * eff_k:
+            # approx_max_k with recall_target=1.0 returns the exact top-k SET
+            # of its keys via two-level reduction (~15% faster than the full
+            # variadic sort; set-equality verified in scripts/tpu_topk_bench.py).
+            # Attention is permutation-invariant over the neighbor axis, so
+            # candidate ordering differences don't matter.
+            neg_d, idx = jax.lax.approx_max_k(-key_d2, eff_k, recall_target=1.0)
+        else:
+            neg_d, idx = jax.lax.top_k(-key_d2, eff_k)
+        valid = neg_d > jnp.bfloat16(-_INF)
     else:
         neg_d, idx = jax.lax.top_k(-d2, eff_k)
-    valid = neg_d > -_INF
+        valid = neg_d > -_INF
     return idx.astype(jnp.int32), valid
 
 

@@ -20,6 +20,13 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 import jax
 import jax.numpy as jnp
 
+import os as _os
+_cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                             "/root/.cache/jax_comp_cache")
+_os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def timeit(name, fn, *args, iters=10):
     out = fn(*args)  # compile + warm
