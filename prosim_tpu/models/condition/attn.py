@@ -81,8 +81,8 @@ class GNNConditionAttn(nn.Module):
 
         # relative PE between every prompt pair; edge feature = cond + pe
         all_idx = jnp.broadcast_to(jnp.arange(N)[None, None, :], (B, N, N)).astype(jnp.int32)
-        pe_in = rel_pe_features(prompt.pos, prompt.ori, prompt.pos, prompt.ori, all_idx, False)
-        rel_pe = RelPE(self.hidden_dim, learnable_pe=False, dtype=self.dtype, name="rel_pe")(pe_in)
+        pe_in = rel_pe_features(prompt.pos, prompt.ori, prompt.pos, prompt.ori, all_idx)
+        rel_pe = RelPE(self.hidden_dim, learnable_pe=False, dtype=self.dtype, fold_dup=False, name="rel_pe")(pe_in)
         edge_feat = pooled + rel_pe  # [B, N, N, D]
 
         x = prompt_emb

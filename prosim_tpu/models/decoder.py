@@ -48,14 +48,16 @@ class SymCoordDecoder(nn.Module):
         self.p2p_layers = [
             GatedNeighborAttention(
                 hidden_dim=self.hidden_dim, num_heads=self.num_heads, head_dim=self.head_dim,
-                bipartite=False, dropout=self.dropout, dtype=self.dtype, name=f"p2p_{i}",
+                bipartite=False, dropout=self.dropout, dtype=self.dtype,
+                pe_full_dim=0 if self.learnable_pe else self.hidden_dim, name=f"p2p_{i}",
             )
             for i in range(self.num_layers)
         ]
         self.s2p_layers = [
             GatedNeighborAttention(
                 hidden_dim=self.hidden_dim, num_heads=self.num_heads, head_dim=self.head_dim,
-                bipartite=True, dropout=self.dropout, dtype=self.dtype, name=f"s2p_{i}",
+                bipartite=True, dropout=self.dropout, dtype=self.dtype,
+                pe_full_dim=0 if self.learnable_pe else self.hidden_dim, name=f"s2p_{i}",
             )
             for i in range(self.num_layers)
         ]
@@ -84,7 +86,7 @@ class SymCoordDecoder(nn.Module):
             radius=self.prompt_radius if radius else None,
         )
         p2p_pe = self.p2p_pe(
-            rel_pe_features(prompt.pos, prompt.ori, prompt.pos, prompt.ori, p2p_idx, self.learnable_pe)
+            rel_pe_features(prompt.pos, prompt.ori, prompt.pos, prompt.ori, p2p_idx)
         )
         s2p_idx, s2p_valid = neighbor_topk(
             prompt.pos, scene.pos, prompt.mask, scene.mask,
@@ -97,7 +99,7 @@ class SymCoordDecoder(nn.Module):
             scene.tokens, scene.pos, scene.ori, s2p_idx
         )
         s2p_pe = self.s2p_pe(
-            rel_pe_input(prompt.pos, prompt.ori, s2p_npos, s2p_nori, self.learnable_pe)
+            rel_pe_input(prompt.pos, prompt.ori, s2p_npos, s2p_nori)
         )
 
         x_p = prompt_emb

@@ -78,7 +78,8 @@ class PolicyRelPE(nn.Module):
             GatedNeighborAttention(
                 hidden_dim=self.hidden_dim, num_heads=self.num_heads, head_dim=self.head_dim,
                 bipartite=True, dropout=self.dropout, dtype=self.dtype,
-                edge_kernel=self.edge_kernel, name=f"a2p_{i}",
+                edge_kernel=self.edge_kernel,
+                pe_full_dim=0 if self.learnable_pe else self.hidden_dim, name=f"a2p_{i}",
             )
             for i in range(self.num_layers)
         ]
@@ -86,7 +87,8 @@ class PolicyRelPE(nn.Module):
             GatedNeighborAttention(
                 hidden_dim=self.hidden_dim, num_heads=self.num_heads, head_dim=self.head_dim,
                 bipartite=True, dropout=self.dropout, dtype=self.dtype,
-                edge_kernel=self.edge_kernel, name=f"m2p_{i}",
+                edge_kernel=self.edge_kernel,
+                pe_full_dim=0 if self.learnable_pe else self.hidden_dim, name=f"m2p_{i}",
             )
             for i in range(self.num_layers)
         ]
@@ -184,8 +186,8 @@ class PolicyRelPE(nn.Module):
         # shared across all attention layers.
         a2p_g, a2p_npos, a2p_nori = site_gather(obs_tokens, obs_pos, obs_ori, a2p_idx)
         m2p_g, m2p_npos, m2p_nori = site_gather(map_tokens, map_pos, map_ori, m2p_idx)
-        a2p_feats = rel_pe_input(pos, ori, a2p_npos, a2p_nori, self.learnable_pe)
-        m2p_feats = rel_pe_input(pos, ori, m2p_npos, m2p_nori, self.learnable_pe)
+        a2p_feats = rel_pe_input(pos, ori, a2p_npos, a2p_nori)
+        m2p_feats = rel_pe_input(pos, ori, m2p_npos, m2p_nori)
 
         # Fused Pallas path: the entire interleaved a2p/m2p stack runs in one
         # kernel with the per-edge tables VMEM-resident (one HBM pass per
@@ -215,10 +217,13 @@ class PolicyRelPE(nn.Module):
             wm = pack_site_weights(
                 p, "m2p", self.num_layers, self.num_heads, self.head_dim, self.dtype
             )
+            # the fused kernel expands the reference's 4-feature fixed PE
+            # in-kernel; re-append the duplicated rel_ori_vec feature
+            # (rel_pe_input now emits only the 3 unique features)
             return fused_two_site_stack(
                 x_p,
-                (a2p_g, a2p_feats, a2p_valid),
-                (m2p_g, m2p_feats, m2p_valid),
+                (a2p_g, jnp.concatenate([a2p_feats, a2p_feats[..., 2:3]], -1), a2p_valid),
+                (m2p_g, jnp.concatenate([m2p_feats, m2p_feats[..., 2:3]], -1), m2p_valid),
                 wa,
                 wm,
                 num_layers=self.num_layers,

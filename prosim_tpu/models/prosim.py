@@ -405,9 +405,15 @@ class ProSim:
             probs = out["motion_prob"]  # [B, N, K]
             K = probs.shape[-1]
             k_eff = min(rollout_k, K)
-            _, topk_idx = jax.lax.top_k(probs, k_eff)
-            rand = jax.random.randint(sub, probs.shape[:2], 0, k_eff)
-            sel = jnp.take_along_axis(topk_idx, rand[..., None], axis=-1)[..., 0]  # [B, N]
+            if k_eff == 1:
+                # uniform choice over top-1 == argmax; skip top_k + randint
+                # (the randint alone profiled at ~4 ms/step at K=1). The key
+                # split above stays so RNG streams are bit-identical.
+                sel = jnp.argmax(probs, axis=-1)  # [B, N]
+            else:
+                _, topk_idx = jax.lax.top_k(probs, k_eff)
+                rand = jax.random.randint(sub, probs.shape[:2], 0, k_eff)
+                sel = jnp.take_along_axis(topk_idx, rand[..., None], axis=-1)[..., 0]  # [B, N]
 
             chunk = jnp.take_along_axis(
                 out["motion_pred"], sel[..., None, None, None], axis=2

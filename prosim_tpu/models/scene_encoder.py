@@ -184,14 +184,16 @@ class SceneEncoderAttnRelPE(nn.Module):
         self.a2a_layers = [
             GatedNeighborAttention(
                 hidden_dim=self.hidden_dim, num_heads=self.num_heads, head_dim=self.head_dim,
-                bipartite=False, dropout=self.dropout, dtype=self.dtype, name=f"a2a_{i}",
+                bipartite=False, dropout=self.dropout, dtype=self.dtype,
+                pe_full_dim=0 if self.learnable_pe else self.hidden_dim, name=f"a2a_{i}",
             )
             for i in range(self.num_layers)
         ]
         self.s2s_layers = [
             GatedNeighborAttention(
                 hidden_dim=self.hidden_dim, num_heads=self.num_heads, head_dim=self.head_dim,
-                bipartite=False, dropout=self.dropout, dtype=self.dtype, name=f"s2s_{i}",
+                bipartite=False, dropout=self.dropout, dtype=self.dtype,
+                pe_full_dim=0 if self.learnable_pe else self.hidden_dim, name=f"s2s_{i}",
             )
             for i in range(self.num_layers)
         ]
@@ -224,7 +226,7 @@ class SceneEncoderAttnRelPE(nn.Module):
         a2a_k = min(self.max_neigh * 4, 100)
         a2a_idx, a2a_valid = neighbor_topk(obs_pos, obs_pos, obs_mask, obs_mask, k=a2a_k)
         a2a_pe = self.a2a_pe(
-            rel_pe_features(obs_pos, obs_ori, obs_pos, obs_ori, a2a_idx, self.learnable_pe)
+            rel_pe_features(obs_pos, obs_ori, obs_pos, obs_ori, a2a_idx)
         )
 
         # small-k selection over the full token grid; at the current shapes
@@ -234,7 +236,7 @@ class SceneEncoderAttnRelPE(nn.Module):
             scene.pos, scene.pos, scene.mask, scene.mask, k=self.max_neigh
         )
         s2s_pe = self.s2s_pe(
-            rel_pe_features(scene.pos, scene.ori, scene.pos, scene.ori, s2s_idx, self.learnable_pe)
+            rel_pe_features(scene.pos, scene.ori, scene.pos, scene.ori, s2s_idx)
         )
 
         x = scene.tokens
@@ -288,13 +290,13 @@ class SceneEncoderAttnRelPE(nn.Module):
             k=self.max_neigh, radius=self.agent_radius, exclude_self=True,
         )
         a2a_pe = self.a2a_pe(
-            rel_pe_features(obs_pos, obs_ori, obs_pos, obs_ori, a2a_idx, self.learnable_pe)
+            rel_pe_features(obs_pos, obs_ori, obs_pos, obs_ori, a2a_idx)
         )
         m2a_idx, m2a_valid = neighbor_topk(
             obs_pos, map_pos, obs_mask, map_mask, k=self.max_neigh, radius=self.scene_radius
         )
         m2a_pe = self.s2s_pe(
-            rel_pe_features(obs_pos, obs_ori, map_pos, map_ori, m2a_idx, self.learnable_pe)
+            rel_pe_features(obs_pos, obs_ori, map_pos, map_ori, m2a_idx)
         )
 
         x_a = scene.obs_tokens

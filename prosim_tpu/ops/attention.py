@@ -26,13 +26,16 @@ from prosim_tpu.ops.neighbors import gather_neighbors
 from prosim_tpu.utils.geometry import angle_between_2d_vectors, wrap_angle
 
 
-def rel_pe_features(dst_pos, dst_ori, src_pos, src_ori, idx, learnable_pe: bool):
+def rel_pe_features(dst_pos, dst_ori, src_pos, src_ori, idx):
     """Relative PE input features for neighbor pairs.
 
     dst_pos [B,Q,2], dst_ori [B,Q], src_pos [B,S,2], src_ori [B,S], idx [B,Q,K].
-    Returns [B,Q,K,3] (learnable) or [B,Q,K,4] (fixed; rel_ori_vec duplicated),
-    matching reference feature construction
-    (reference: prosim/models/scene_encoder/attn_fusion.py:44-76).
+    Returns the 3 UNIQUE features [B,Q,K,3] = (dist, rel_ori, rel_ori_vec).
+    The reference's fixed-PE path feeds a 4th feature that is an exact
+    duplicate of rel_ori_vec (reference: attn_fusion.py:44-76 stacks
+    rel_ori_vec twice); consumers reconstruct/fold that duplication exactly
+    (see RelPE.fold_dup and GatedNeighborAttention.pe_full_dim) instead of
+    paying 4/3 of the per-edge PE traffic for identical lanes.
     """
     # one combined [B,S,3] gather instead of separate pos/ori gathers:
     # XLA's TPU gather cost is per-row, not per-byte
@@ -41,16 +44,26 @@ def rel_pe_features(dst_pos, dst_ori, src_pos, src_ori, idx, learnable_pe: bool)
         axis=-1,
     )
     g = gather_neighbors(table, idx)
-    return rel_pe_input(dst_pos, dst_ori, g[..., :2], g[..., 2], learnable_pe)
+    return rel_pe_input(dst_pos, dst_ori, g[..., :2], g[..., 2])
 
 
 class RelPE(nn.Module):
-    """Maps rel-PE input features to hidden_dim embeddings."""
+    """Maps rel-PE input features to hidden_dim embeddings.
+
+    Fixed path: the reference embeds 4 input features (rel_ori_vec twice) to
+    hidden_dim, so the last hidden_dim//4 embedding dims are an exact copy of
+    the block before them. With fold_dup=True (default) only the 3 unique
+    features are embedded -> 3/4*hidden_dim dims; the consuming attention
+    layer folds its duplicated parameter columns instead (pe_full_dim),
+    which is exact math and drops 25% of the [B,Q,K,D] PE traffic and
+    transcendentals. fold_dup=False re-appends the duplicate block for
+    consumers that need the full-width embedding (condition GNN edge sum)."""
 
     hidden_dim: int
     learnable_pe: bool = False
     num_freq_bands: int = 64
     dtype: jnp.dtype = jnp.float32
+    fold_dup: bool = True
 
     @nn.compact
     def __call__(self, pe_input):
@@ -64,9 +77,13 @@ class RelPE(nn.Module):
             )(pe_input)
         # cast to the model dtype: under bf16 the [B, Q, K, D] PE tensors are
         # the largest HBM residents in the rollout/training graphs
+        npf = self.hidden_dim // 4
         emb = FourierEmbeddingFix(
-            num_pos_feats=self.hidden_dim // 4, name="fourier_fix"
+            num_pos_feats=npf, name="fourier_fix"
         )(pe_input).astype(self.dtype)
+        if not self.fold_dup:
+            # reference layout: [dist, rel_ori, rel_ori_vec, rel_ori_vec]
+            emb = jnp.concatenate([emb, emb[..., 2 * npf :]], axis=-1)
         # materialize once: the downstream parameter-free LayerNorm makes
         # three passes (two reductions + normalize) over this tensor, and
         # without a barrier XLA rematerializes the whole transcendental
@@ -88,14 +105,36 @@ class _AffineParams(nn.Module):
         return scale, bias
 
 
-def _norm_stats(x, eps: float = 1e-5):
+def _norm_stats(x, eps: float = 1e-5, dup_tail: int = 0):
     """Parameter-free part of LayerNorm (flax semantics: last-dim stats,
     fast variance), computed in f32. Shared/CSE'd when several layers
-    normalize the same tensor."""
+    normalize the same tensor.
+
+    dup_tail > 0: the stats are those of the WIDER row in which the last
+    dup_tail dims appear twice (the folded rel-PE duplication, see RelPE) —
+    the normalized values of the duplicate block equal those of the tail,
+    so only the unique dims are returned."""
     x32 = x.astype(jnp.float32)
-    mu = x32.mean(-1, keepdims=True)
-    var = jnp.maximum((x32 * x32).mean(-1, keepdims=True) - mu * mu, 0.0)
+    n = x.shape[-1] + dup_tail
+    s = x32.sum(-1, keepdims=True)
+    ss = (x32 * x32).sum(-1, keepdims=True)
+    if dup_tail:
+        t = x32[..., -dup_tail:]
+        s = s + t.sum(-1, keepdims=True)
+        ss = ss + (t * t).sum(-1, keepdims=True)
+    mu = s / n
+    var = jnp.maximum(ss / n - mu * mu, 0.0)
     return ((x32 - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def _fold_pe_tail(w, tail: int):
+    """Fold the duplicated rel-PE parameter rows: w [P, ...] row-indexed by
+    the full-width PE dim, where rows P-tail..P multiply the same normalized
+    values as rows P-2*tail..P-tail. Returns [P-tail, ...] with the duplicate
+    rows added onto their twins — exact math."""
+    if tail == 0:
+        return w
+    return w[:-tail].at[-tail:].add(w[-tail:])
 
 
 def gather_src_features(x_src, idx):
@@ -158,17 +197,15 @@ def site_gather(x_src, src_pos, src_ori, idx):
     )
 
 
-def rel_pe_input(dst_pos, dst_ori, nbr_pos, nbr_ori, learnable_pe: bool):
+def rel_pe_input(dst_pos, dst_ori, nbr_pos, nbr_ori):
     """rel_pe_features from already-gathered neighbor pos/ori
-    (see site_gather). dst_pos [B,Q,2], nbr_pos [B,Q,K,2]."""
+    (see site_gather). dst_pos [B,Q,2], nbr_pos [B,Q,K,2] -> [B,Q,K,3]."""
     rel_pos = nbr_pos - dst_pos[:, :, None, :]
     dist = jnp.linalg.norm(rel_pos, axis=-1)
     rel_ori = wrap_angle(nbr_ori - dst_ori[:, :, None])
     ori_vec_dst = jnp.stack([jnp.cos(dst_ori), jnp.sin(dst_ori)], axis=-1)
     rel_ori_vec = angle_between_2d_vectors(ori_vec_dst[:, :, None, :], rel_pos)
-    if learnable_pe:
-        return jnp.stack([dist, rel_ori, rel_ori_vec], axis=-1)
-    return jnp.stack([dist, rel_ori, rel_ori_vec, rel_ori_vec], axis=-1)
+    return jnp.stack([dist, rel_ori, rel_ori_vec], axis=-1)
 
 
 class GatedNeighborAttention(nn.Module):
@@ -181,6 +218,9 @@ class GatedNeighborAttention(nn.Module):
     # single-pass Pallas attention core on TPU forward paths (auto-disabled
     # when shapes are unsupported or under training/autodiff)
     edge_kernel: bool = False
+    # full reference width of the rel-PE embedding when the incoming rel_pe
+    # carries only the unique dims (RelPE.fold_dup); 0 = rel_pe is full width
+    pe_full_dim: int = 0
 
     @nn.compact
     def __call__(
@@ -258,23 +298,35 @@ class GatedNeighborAttention(nn.Module):
         c_v = to_v(jnp.zeros((D_src,), self.dtype))
         w_v = to_v(eye_s) - c_v[None, :]
 
+        # PE parameters are sized to the FULL reference width P (so the
+        # parameter tree matches the torch layer exactly); when the incoming
+        # rel_pe is the folded unique-dims tensor (pe_full_dim > D_pe, see
+        # RelPE.fold_dup) the duplicated parameter rows are folded onto
+        # their twins at call time — exact math, 25% less per-edge traffic.
         D_pe = rel_pe.shape[-1]
-        z_r = _norm_stats(rel_pe)
-        g_r, b_r = _AffineParams(D_pe, name="prenorm_r")()
+        P = self.pe_full_dim or D_pe
+        tail = P - D_pe
+        z_r = _norm_stats(rel_pe, dup_tail=tail)
+        g_r, b_r = _AffineParams(P, name="prenorm_r")()
         g_r = g_r.astype(self.dtype)
         b_r = b_r.astype(self.dtype)
-        eye_r = jnp.eye(D_pe, dtype=self.dtype)
+        eye_r = jnp.eye(P, dtype=self.dtype)
         w_kr = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_r")(eye_r)
         to_v_r = nn.Dense(inner, dtype=self.dtype, name="to_v_r")
-        c_vr = to_v_r(jnp.zeros((D_pe,), self.dtype))
+        c_vr = to_v_r(jnp.zeros((P,), self.dtype))
         w_vr = to_v_r(eye_r) - c_vr[None, :]
+        w_kr_g = _fold_pe_tail(w_kr * g_r[:, None], tail).reshape(D_pe, H, hd)
+        w_vr_g = _fold_pe_tail(w_vr * g_r[:, None], tail).reshape(D_pe, H, hd)
 
         # fold projections into the query side: [B,Q,H,D]
         q_k = jnp.einsum("bqhe,dhe->bqhd", qh, w_k.reshape(D_src, H, hd))
-        q_pe = jnp.einsum("bqhe,dhe->bqhd", qh, w_kr.reshape(D_pe, H, hd))
+        q_pe = jnp.einsum("bqhe,dhe->bqhd", qh, w_kr_g)
 
+        # bias needs the UNfolded, unscaled q.W_kr against b_r over all P
+        # dims; contract the [P,inner] weight with b_r first ([H,hd]) so the
+        # unfolded per-query tensor never materializes
         bias = jnp.einsum("bqhd,d->bqh", q_k, b_s) + jnp.einsum(
-            "bqhd,d->bqh", q_pe, b_r
+            "bqhe,he->bqh", qh, jnp.einsum("dhe,d->he", w_kr.reshape(P, H, hd), b_r)
         )
         use_kernel = (
             self.edge_kernel
@@ -289,13 +341,13 @@ class GatedNeighborAttention(nn.Module):
             # bias term cancels inside the softmax and is omitted there)
             agg_x, agg_z, attn_sum = edge_attn_core(
                 x_g, z_r,
-                q_k * g_s[None, None, None], q_pe * g_r[None, None, None],
+                q_k * g_s[None, None, None], q_pe,
                 edge_valid, scale,
             )
         else:
             sim = (
                 jnp.einsum("bqhd,bqkd->bqkh", q_k * g_s[None, None, None], x_g)
-                + jnp.einsum("bqhd,bqkd->bqkh", q_pe * g_r[None, None, None], z_r)
+                + jnp.einsum("bqhd,bqkd->bqkh", q_pe, z_r)
                 + bias[:, :, None]
             ) * scale
             sim = jnp.where(edge_valid[..., None], sim, -jnp.inf)
@@ -315,9 +367,7 @@ class GatedNeighborAttention(nn.Module):
         agg_v = jnp.einsum(
             "bqhd,dhe->bqhe", agg_x * g_s[None, None, None], w_v.reshape(D_src, H, hd)
         )
-        agg_pe = jnp.einsum(
-            "bqhd,dhe->bqhe", agg_z * g_r[None, None, None], w_vr.reshape(D_pe, H, hd)
-        )
+        agg_pe = jnp.einsum("bqhd,dhe->bqhe", agg_z, w_vr_g)
         const = (b_s @ w_v + c_v + b_r @ w_vr + c_vr).reshape(H, hd)
         agg = (
             agg_v + agg_pe + const[None, None] * attn_sum[..., None]

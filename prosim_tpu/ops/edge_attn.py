@@ -98,27 +98,32 @@ def edge_attn_core(x_g, z_r, qx, qp, edge_valid, scale,
     Returns (agg_x [B,Q,H,D], agg_z [B,Q,H,D], attn_sum [B,Q,H]) in x_g.dtype.
     """
     B, Q, K, D = x_g.shape
+    Dp = z_r.shape[-1]  # rel-PE width; may be the folded 3/4 width (see RelPE)
     H = qx.shape[2]
     dt = x_g.dtype
     grid = (B, Q // q_tile)
     kernel = functools.partial(
         _edge_attn_kernel, q_tile=q_tile, scale=float(scale), out_dtype=dt)
 
-    spec_edge = pl.BlockSpec((1, q_tile, K, D), lambda i, j: (i, j, 0, 0),
-                             memory_space=pltpu.VMEM)
-    spec_q = pl.BlockSpec((1, q_tile, H, D), lambda i, j: (i, j, 0, 0),
-                          memory_space=pltpu.VMEM)
+    def spec_edge(d):
+        return pl.BlockSpec((1, q_tile, K, d), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def spec_q(d):
+        return pl.BlockSpec((1, q_tile, H, d), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+
     spec_k = pl.BlockSpec((1, q_tile, K, 1), lambda i, j: (i, j, 0, 0),
                           memory_space=pltpu.VMEM)
 
     agg_x, agg_z = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec_edge, spec_edge, spec_q, spec_q, spec_k],
-        out_specs=[spec_q, spec_q],
+        in_specs=[spec_edge(D), spec_edge(Dp), spec_q(D), spec_q(Dp), spec_k],
+        out_specs=[spec_q(D), spec_q(Dp)],
         out_shape=[
             jax.ShapeDtypeStruct((B, Q, H, D), dt),
-            jax.ShapeDtypeStruct((B, Q, H, D), dt),
+            jax.ShapeDtypeStruct((B, Q, H, Dp), dt),
         ],
         interpret=interpret,
     )(x_g.astype(dt), z_r.astype(dt), qx.astype(dt), qp.astype(dt),

@@ -220,8 +220,8 @@ def test_rel_pe_features_basic():
     src_pos = jnp.asarray([[[2.0, 0.0]]])
     src_ori = jnp.asarray([[np.pi / 2]])
     idx = jnp.zeros((1, 1, 1), jnp.int32)
-    feats = np.asarray(rel_pe_features(dst_pos, dst_ori, src_pos, src_ori, idx, False))
-    np.testing.assert_allclose(feats[0, 0, 0], [2.0, np.pi / 2, 0.0, 0.0], atol=1e-6)
+    feats = np.asarray(rel_pe_features(dst_pos, dst_ori, src_pos, src_ori, idx))
+    np.testing.assert_allclose(feats[0, 0, 0], [2.0, np.pi / 2, 0.0], atol=1e-6)
 
 
 def test_context_gating_runs():
@@ -245,7 +245,7 @@ def test_neighbor_attention_end_to_end_with_topk():
     mask = jnp.asarray(rng.random((B, S)) > 0.2)
 
     idx, valid = neighbor_topk(pos, pos, mask, mask, k=8)
-    pe_in = rel_pe_features(pos, ori, pos, ori, idx, False)
+    pe_in = rel_pe_features(pos, ori, pos, ori, idx)
 
     from prosim_tpu.ops.attention import RelPE
 
@@ -253,8 +253,43 @@ def test_neighbor_attention_end_to_end_with_topk():
     pe_params = pe_mod.init(jax.random.PRNGKey(1), pe_in)
     pe = pe_mod.apply(pe_params, pe_in)
 
-    mod = GatedNeighborAttention(hidden_dim=D, num_heads=4, head_dim=4)
+    mod = GatedNeighborAttention(hidden_dim=D, num_heads=4, head_dim=4, pe_full_dim=D)
     params = mod.init(jax.random.PRNGKey(2), x, x, idx, valid, pe)
     out = mod.apply(params, x, x, idx, valid, pe)
     assert out.shape == (B, S, D)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pe_fold_matches_full_width():
+    """Folded rel-PE path (3 unique features + pe_full_dim) must be exact-math
+    identical to the reference full-width path (duplicated rel_ori_vec)."""
+    rng = np.random.default_rng(17)
+    B, S, D, K = 2, 24, 32, 6
+    pos = jnp.asarray(rng.normal(size=(B, S, 2)) * 20, dtype=jnp.float32)
+    ori = jnp.asarray(rng.normal(size=(B, S)), dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(B, S, D)), dtype=jnp.float32)
+    mask = jnp.asarray(rng.random((B, S)) > 0.2)
+    idx, valid = neighbor_topk(pos, pos, mask, mask, k=K)
+
+    from prosim_tpu.ops.attention import RelPE
+
+    feats = rel_pe_features(pos, ori, pos, ori, idx)  # [B,S,K,3]
+    pe_full = RelPE(hidden_dim=D, fold_dup=False).apply({"params": {}}, feats)
+    pe_fold = RelPE(hidden_dim=D, fold_dup=True).apply({"params": {}}, feats)
+    assert pe_full.shape[-1] == D and pe_fold.shape[-1] == D * 3 // 4
+    np.testing.assert_allclose(
+        np.asarray(pe_full[..., : D * 3 // 4]), np.asarray(pe_fold), atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(pe_full[..., D * 3 // 4 :]), np.asarray(pe_fold[..., D // 2 :]), atol=0
+    )
+
+    mod_full = GatedNeighborAttention(hidden_dim=D, num_heads=4, head_dim=8)
+    mod_fold = GatedNeighborAttention(hidden_dim=D, num_heads=4, head_dim=8, pe_full_dim=D)
+    params = mod_full.init(jax.random.PRNGKey(3), x, x, idx, valid, pe_full)
+    # same parameter tree: prenorm_r/to_k_r/to_v_r stay full-width
+    out_full = mod_full.apply(params, x, x, idx, valid, pe_full)
+    out_fold = mod_fold.apply(params, x, x, idx, valid, pe_fold)
+    np.testing.assert_allclose(
+        np.asarray(out_fold), np.asarray(out_full), rtol=2e-5, atol=2e-5
+    )
