@@ -89,15 +89,37 @@ def crash_and_goal_metrics(world_xyh, extents, agent_mask, goals_world,
     B, N, T, _ = xy.shape
     radius = jnp.linalg.norm(extents, axis=-1) / 2.0  # [B, N]
 
-    d = jnp.linalg.norm(xy[:, :, None] - xy[:, None, :], axis=-1)  # [B, N, N, T]
     rsum = radius[:, :, None] + radius[:, None, :]
     pair_mask = (
         agent_mask[:, :, None]
         & agent_mask[:, None, :]
         & ~jnp.eye(N, dtype=bool)[None]
     )
-    collide = (d < rsum[..., None] * 0.7) & pair_mask[..., None]
-    crashed = collide.any(axis=(2, 3))  # [B, N]
+
+    # pairwise distances blocked over time: the naive [B, N, N, T, 2] diff
+    # temp is gigabytes at rollout-callback tile counts (B = scenes*M); a
+    # scan over T-blocks keeps the live temp to [Tb, B, N, N] with identical
+    # math (any() over time commutes with blocking)
+    tb = 8
+    pad = (-T) % tb
+    xy_t = jnp.moveaxis(xy, 2, 0)  # [T, B, N, 2]
+    if pad:
+        # padded steps sit at +1e9: never within collision range
+        xy_t = jnp.concatenate(
+            [xy_t, jnp.full((pad, B, N, 2), 1e9, xy_t.dtype)], axis=0
+        )
+    xy_blocks = xy_t.reshape(-1, tb, B, N, 2)
+
+    def _block(crashed, xy_b):  # xy_b [Tb, B, N, 2]
+        d = jnp.linalg.norm(
+            xy_b[:, :, :, None] - xy_b[:, :, None, :], axis=-1
+        )  # [Tb, B, N, N]
+        c = (d < rsum[None] * 0.7) & pair_mask[None]
+        return crashed | c.any(axis=(0, 3)), None
+
+    crashed, _ = jax.lax.scan(
+        _block, jnp.zeros((B, N), bool), xy_blocks
+    )  # [B, N]
     crash_rate = jnp.where(agent_mask, crashed, False).sum() / jnp.clip(
         agent_mask.sum(), 1, None
     )

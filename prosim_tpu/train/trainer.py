@@ -216,6 +216,12 @@ class Trainer:
             self._rollout_fn = jax.jit(_roll)
             self._rollout_m = m
 
+        # The tiled rollout runs B*m scenes at once; at the WOSAC default
+        # M=32 a full val batch blows HBM (measured 51 GB of per-edge gather
+        # tables at B=16, m=32). Chunk scenes so B_chunk*m stays within
+        # ROLLOUT.MAX_TILE, picking a chunk that divides B so every chunk
+        # reuses one compiled shape.
+        max_tile = max(int(self.config.ROLLOUT.MAX_TILE), m)
         rng = jax.random.PRNGKey(self.config.SEED + 2)
         acc = []
         for i, batch in enumerate(
@@ -223,10 +229,22 @@ class Trainer:
         ):
             if i >= max_batches:
                 break
-            batch = shard_batch(batch, self.mesh)
-            rng, sub = jax.random.split(rng)
-            metrics = self._rollout_fn(self.params, batch, sub)
-            acc.append({k: float(v) for k, v in metrics.items()})
+            B = int(batch.prompt.mask.shape[0])
+            lim = max(1, min(max_tile // m, B))
+            # chunks must divide B (one compiled shape for all chunks) and be
+            # multiples of the data-axis size (shardable) — the same
+            # divisibility the un-chunked batch always needed. If MAX_TILE is
+            # tighter than one data-shard per chunk, exceed it minimally.
+            n_data = dict(self.mesh.shape).get("data", 1)
+            even = [d for d in range(1, B + 1) if B % d == 0 and d % n_data == 0]
+            under = [d for d in even if d <= lim]
+            c = max(under) if under else (min(even) if even else B)
+            for s in range(0, B, c):
+                sub_batch = batch.map_batch_leaves(lambda x: x[s : s + c])
+                sub_batch = shard_batch(sub_batch, self.mesh)
+                rng, sub = jax.random.split(rng)
+                metrics = self._rollout_fn(self.params, sub_batch, sub)
+                acc.append({k: float(v) for k, v in metrics.items()})
         out = {
             k: float(np.mean([a[k] for a in acc])) for k in acc[0]
         } if acc else {}

@@ -205,3 +205,22 @@ def test_error_batch_dumper(trained, tmp_path):
     data = np.load(p)
     assert any("init_obs" in k for k in data.files)
     assert np.isnan(data["loss/full_loss"])
+
+
+def test_rollout_callback_chunks_large_tiles(trained):
+    """ROLLOUT.MAX_TILE bounds B_chunk*m: a tiny cap must split the batch
+    into equal chunks (each reusing one compiled shape) and still produce
+    finite aggregate metrics (guards the M=32 WOSAC-default HBM blowup)."""
+    cfg, trainer, batch = trained
+    B = int(batch.prompt.mask.shape[0])
+    cfg2 = cfg.clone(); cfg2.defrost(); cfg2.ROLLOUT.MAX_TILE = 3; cfg2.freeze()
+    old_cfg = trainer.config
+    trainer.config = cfg2
+    trainer._rollout_fn = None  # force re-jit under the new m
+    try:
+        out = trainer.rollout_callback([batch], m=3)  # forces multiple chunks
+    finally:
+        trainer.config = old_cfg
+        trainer._rollout_fn = None
+    for k in ("min_ade", "mean_ade", "crash_rate", "goal_reach_rate"):
+        assert np.isfinite(out[k]), k
