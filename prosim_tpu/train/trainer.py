@@ -129,6 +129,8 @@ class Trainer:
                         self._improved = False
                 if max_steps and self.step >= max_steps:
                     break
+            if max_steps and self.step >= max_steps:
+                break  # stop cycling epochs too, not just the batch loop
             if val_batches is not None and (epoch + 1) % self.config.VAL_INTERVAL == 0:
                 self.evaluate(val_batches)
                 rc = self.config.ROLLOUT

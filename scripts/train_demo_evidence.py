@@ -60,6 +60,9 @@ def main():
         "TRAIN.BATCH_SIZE", str(args.batch),
         "TRAIN.SCHEDULER.WARMUP_STEPS", "50",
         "TRAIN.SCHEDULER.MAX_STEPS", str(max(args.steps, 100)),
+        # fit() walks MAX_EPOCHES epochs and the demo cache is ~1 batch per
+        # epoch; give it enough epochs that max_steps is the binding limit
+        "MAX_EPOCHES", str(args.steps),
         "CHECKPOINT_INTERVAL", "100",
         "EXPERIMENT_DIR", os.path.dirname(args.out) or ".",
         "EXPERIMENT_NAME", os.path.basename(args.out),
@@ -110,7 +113,12 @@ def main():
     evidence["rollout_before"] = roll_before
     print("before:", json.dumps(before), flush=True)
 
-    trainer.fit(batches(train_ds, args.batch, True), max_steps=args.steps)
+    # materialize one epoch of formatted batches and cycle them: host-side
+    # formatting costs ~30 s per 16-scene epoch, which would dominate the
+    # ~2 s device step when fit() rebuilds the generator every epoch
+    train_list = list(train_ds.batches(args.batch, shuffle=True, seed=0,
+                                       drop_last=False))
+    trainer.fit(lambda: iter(train_list), max_steps=args.steps)
     evidence["train_wall_s"] = round(time.time() - t0, 1)
 
     after = trainer.evaluate(batches(val_ds, val_bs, False))
