@@ -69,6 +69,29 @@ class InteractiveSim:
 
         self.params = merge(self.params, params)
 
+    def load_trainer_checkpoint(self, path: str):
+        """Load an orbax checkpoint written by Trainer.save_checkpoint (e.g.
+        scripts/train_demo_evidence.py output). Non-strict: leaves absent
+        from the checkpoint (stripped frozen LLM body, modules the training
+        config didn't build) keep their init values."""
+        import os
+
+        import orbax.checkpoint as ocp
+
+        if self.params is None:
+            if self.batch is None:
+                self.load_scene(0)
+        restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+
+        def merge(cur, res):
+            if not isinstance(cur, dict):
+                return res
+            return {
+                k: merge(v, res[k]) if k in res else v for k, v in cur.items()
+            }
+
+        self.params = merge(self.params, restored["params"])
+
     # ----------------------------------------------------------- controls
     def _num_agents(self):
         return self.batch.prompt.mask.shape[1]

@@ -27,13 +27,12 @@ controlled in closed loop for 8 s, and individual agents can be prompted with
 **goal points**, **route sketches**, and **natural-language text**.
 
 It runs the flagship demo architecture (6-layer encoders, 128-d hidden,
-anchor policy head) on scenes read directly from a trajdata cache. With no
-checkpoint loaded the policy is randomly initialized -- trajectories are
-exploratory, but the full pipeline (data -> prompts -> LLM -> closed-loop
-`lax.scan` -> visualization) is exercised end to end. To reproduce the
-released behavior, convert the reference checkpoint with
-`prosim_tpu.utils.checkpoint_convert` and pass it to
-`sim.load_checkpoint(...)` (see the last section).""",
+anchor policy head) on scenes read directly from a trajdata cache, with
+weights trained on this cache by `scripts/train_demo_evidence.py` (400
+steps on one TPU chip; loaded below when present, random init otherwise).
+To reproduce the released reference behavior instead, convert the reference
+checkpoint with `prosim_tpu.utils.checkpoint_convert` and pass it to
+`sim.load_checkpoint(...)`.""",
     # 1
     """## Unconditional closed-loop rollout
 
@@ -102,6 +101,12 @@ config = get_config(os.path.join({repo!r}, "configs/waymo_demo.yaml"), opts=[
 ])
 sim = InteractiveSim(config, CACHE_DIR)
 batch = sim.load_scene(0)
+# trained weights (scripts/train_demo_evidence.py output); falls back to
+# random init when the checkpoint is absent
+CKPT = os.environ.get("PROSIM_DEMO_CKPT", os.path.join({repo!r}, "runs/demo_evidence/ckpt_last"))
+if os.path.isdir(CKPT):
+    sim.load_trainer_checkpoint(CKPT)
+    print("loaded trained checkpoint:", CKPT)
 print("agents:", int(batch.prompt.mask.sum()),
       "| map tokens:", int(batch.init_map.token_mask.sum()))''',
     # 1 uncond
