@@ -21,10 +21,14 @@ REF = "/root/reference"
 
 _PARENTS = [
     ("prosim", f"{REF}/prosim"),
+    ("prosim.core", f"{REF}/prosim/core"),
     ("prosim.models", f"{REF}/prosim/models"),
     ("prosim.models.utils", f"{REF}/prosim/models/utils"),
     ("prosim.models.layers", f"{REF}/prosim/models/layers"),
     ("prosim.models.scene_encoder", f"{REF}/prosim/models/scene_encoder"),
+    ("prosim.models.decoder", f"{REF}/prosim/models/decoder"),
+    ("prosim.models.policy", f"{REF}/prosim/models/policy"),
+    ("prosim.models.prompt_encoder", f"{REF}/prosim/models/prompt_encoder"),
     ("prosim.loss", f"{REF}/prosim/loss"),
     ("prosim.dataset", f"{REF}/prosim/dataset"),
 ]
@@ -60,6 +64,37 @@ def _exec_functions_from(path: str, module_name: str, func_names, glb=None):
     return mod
 
 
+def _ensure_data_utils():
+    """Exec the trajdata-free functions of reference data_utils.py into a
+    stub module, against the shimmed StateArray machinery (reference:
+    prosim/dataset/data_utils.py:74-311)."""
+    if "prosim.dataset.data_utils" in sys.modules:
+        return
+    import numpy as np
+    import torch
+
+    import ref_shims
+
+    _exec_functions_from(
+        f"{REF}/prosim/dataset/data_utils.py",
+        "prosim.dataset.data_utils",
+        ["rotate", "transform_coords_2d_np_offset_rot",
+         "transform_to_frame_offset_rot"],
+        glb={
+            "torch": torch,
+            "np": np,
+            "StateArray": ref_shims.StateArray,
+            "StateTensor": ref_shims.StateTensor,
+            "rotation_matrix": ref_shims.rotation_matrix,
+            "angle_wrap": ref_shims.angle_wrap,
+            "default_trajdata_cfg": {
+                "state_format": "x,y,z,xd,yd,xdd,ydd,h",
+                "obs_format": "x,y,z,xd,yd,xdd,ydd,s,c",
+            },
+        },
+    )
+
+
 def load():
     """Returns a namespace with the reference oracle modules."""
     if REF not in sys.path:
@@ -70,15 +105,9 @@ def load():
     import numpy as np
     import torch
 
-    # prosim.dataset.data_utils needs trajdata; loss_func only uses its
-    # `rotate` - exec exactly that function out of the real source.
-    if "prosim.dataset.data_utils" not in sys.modules:
-        _exec_functions_from(
-            f"{REF}/prosim/dataset/data_utils.py",
-            "prosim.dataset.data_utils",
-            ["rotate"],
-            glb={"torch": torch, "np": np},
-        )
+    # prosim.dataset.data_utils needs trajdata; exec only the functions the
+    # oracle paths use out of the real source.
+    _ensure_data_utils()
 
     import prosim.models.utils.geometry as geometry
     import prosim.models.utils.weight_init as weight_init
@@ -97,3 +126,62 @@ def load():
         torch=torch,
     )
     return ns
+
+
+def load_model():
+    """Returns a namespace with the reference MODEL modules (scene encoder,
+    decoder, policy, prompt encoder, condition transformer, the composed
+    ProSim class) plus the data-side formatter/condition modules, all running
+    in place via the dependency shims in ref_shims.py.
+
+    reference: prosim/models/traj_sam.py:13-644, scene_encoder/attn_fusion.py,
+    decoder/sym_coord.py, policy/act_decoder.py, dataset/format_utils.py.
+    """
+    import ref_shims
+
+    ref_shims.install()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    for name, path in _PARENTS:
+        _stub_parent(name, path)
+
+    import numpy as np
+    import torch
+
+    _ensure_data_utils()
+
+    from prosim.core.registry import registry as ref_registry
+    import prosim.models.layers.attention_layer as attention_layer
+    import prosim.models.scene_encoder.attn_fusion as attn_fusion
+    import prosim.models.scene_encoder.base as scene_encoder_base
+    import prosim.models.decoder.base as decoder_base
+    import prosim.models.decoder.sym_coord as sym_coord
+    import prosim.models.policy.act_decoder as act_decoder
+    import prosim.models.policy.base as policy_base
+    import prosim.models.prompt_encoder.base as prompt_encoder_base
+    import prosim.models.condition_transformer as condition_transformer
+    import prosim.models.traj_sam as traj_sam
+    import prosim.dataset.prompt_utils as prompt_utils
+    import prosim.dataset.motion_tag_utils as motion_tag_utils
+    import prosim.dataset.condition_utils as condition_utils
+    import prosim.dataset.format_utils as format_utils
+
+    return types.SimpleNamespace(
+        shims=ref_shims,
+        registry=ref_registry,
+        attention_layer=attention_layer,
+        attn_fusion=attn_fusion,
+        scene_encoder_base=scene_encoder_base,
+        decoder_base=decoder_base,
+        sym_coord=sym_coord,
+        act_decoder=act_decoder,
+        policy_base=policy_base,
+        prompt_encoder_base=prompt_encoder_base,
+        condition_transformer=condition_transformer,
+        traj_sam=traj_sam,
+        prompt_utils=prompt_utils,
+        motion_tag_utils=motion_tag_utils,
+        condition_utils=condition_utils,
+        format_utils=format_utils,
+        torch=torch,
+    )

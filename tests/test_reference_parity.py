@@ -447,6 +447,68 @@ class TestGatedAttention:
         allclose(got, want, atol=5e-5, rtol=5e-5)
 
 
+class TestGatedAttentionRealReference:
+    """Parity vs the REFERENCE AttentionLayer imported in place
+    (reference: prosim/models/layers/attention_layer.py:13-121) running on
+    the torch_geometric MessagePassing/segment-softmax shim
+    (tests/ref_shims.py). Closes the hand-port-oracle gap: a transcription
+    bug in TorchGatedAttentionOracle would be caught here."""
+
+    @pytest.mark.parametrize("bipartite", [False, True])
+    def test_real_layer_vs_flax(self, bipartite):
+        from prosim_tpu.ops.attention import GatedNeighborAttention
+
+        ref = reference_oracle.load_model()
+        Dh, H, hd = 32, 4, 8
+        B, Q, S, K = 2, 6, 9, 4
+        torch.manual_seed(3)
+        tm = ref.attention_layer.AttentionLayer(
+            hidden_dim=Dh, num_heads=H, head_dim=hd, dropout=0.0,
+            bipartite=bipartite, has_pos_emb=True,
+        ).eval()
+
+        x_dst = RNG.normal(size=(B, Q, Dh)).astype(np.float32)
+        x_src = RNG.normal(size=(B, S, Dh)).astype(np.float32)
+        idx = RNG.integers(0, S, size=(B, Q, K)).astype(np.int32)
+        valid = RNG.random(size=(B, Q, K)) > 0.25
+        valid[:, -1] = False  # a query with zero neighbors
+        rel_pe = RNG.normal(size=(B, Q, K, Dh)).astype(np.float32)
+
+        if not bipartite:
+            # non-bipartite reference call sites pass one node set
+            # (attn_fusion.py:117-119): dst q is node q of the src set
+            x_dst = x_src[:, :Q].copy()
+        dst_stride = Q if bipartite else S
+        srcs, dsts, rs = [], [], []
+        for b in range(B):
+            for q in range(Q):
+                for k in range(K):
+                    if valid[b, q, k]:
+                        srcs.append(b * S + idx[b, q, k])
+                        dsts.append(b * dst_stride + q)
+                        rs.append(rel_pe[b, q, k])
+        edge_index = torch.stack([torch.tensor(srcs, dtype=torch.long),
+                                  torch.tensor(dsts, dtype=torch.long)])
+        with torch.no_grad():
+            if bipartite:
+                want = tm((t(x_src.reshape(-1, Dh)), t(x_dst.reshape(-1, Dh))),
+                          t(np.stack(rs)), edge_index)
+            else:
+                want = tm(t(x_src.reshape(-1, Dh)), t(np.stack(rs)),
+                          edge_index)
+        want = want.numpy().reshape(B, -1, Dh)[:, :Q]
+
+        jm = GatedNeighborAttention(
+            hidden_dim=Dh, num_heads=H, head_dim=hd, bipartite=bipartite
+        )
+        got = jm.apply(
+            {"params": _attn_flax_params(tm, bipartite)},
+            jnp.asarray(x_dst), jnp.asarray(x_src), jnp.asarray(idx),
+            jnp.asarray(valid), jnp.asarray(rel_pe),
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=5e-5, rtol=5e-5)
+
+
 # ----------------------------------------------------- offroad / collision
 class TestOffroadParity:
     def test_signed_distance_to_polyline(self):
