@@ -302,6 +302,12 @@ def get_default_config() -> CN:
     _C.DATASET.FORMAT.MAP.MAX_POINTS = 2048
     _C.DATASET.FORMAT.MAP.WITH_TYPE_EMB = True
     _C.DATASET.FORMAT.MAP.WITH_DIR = True
+    # bug-for-bug parity with the reference map crop: when more polylines are
+    # in range than MAX_POINTS, the reference computes the point mask from the
+    # PRE-sort chunk order while the vectors get distance-sorted
+    # (reference: format_utils.py:168-178); checkpoints trained there saw the
+    # stale masks. Off = geometrically consistent masks.
+    _C.DATASET.FORMAT.MAP.REFERENCE_UNSORTED_MASK_QUIRK = False
 
     _C.DATASET.FORMAT.TARGET = CN()
     _C.DATASET.FORMAT.TARGET.SAMPLE_RATE = 10

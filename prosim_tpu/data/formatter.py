@@ -183,10 +183,19 @@ def build_init_map(lane_vecs, config) -> MapInputs:
     dist = np.linalg.norm(mean_start, axis=-1)
     in_range = dist < fmt.LOCAL_RANGE
     keep = np.nonzero(in_range)[0]
-    if len(keep) > L:
-        keep = keep[np.argsort(dist[keep])[:L]]
-    vec = lane_vecs[keep]
-    pv = point_valid[keep]
+    truncated = len(keep) > L
+    if truncated:
+        sorted_keep = keep[np.argsort(dist[keep], kind="stable")[:L]]
+    else:
+        sorted_keep = keep
+    vec = lane_vecs[sorted_keep]
+    pv = point_valid[sorted_keep]
+    out_pv = pv
+    if truncated and fmt.REFERENCE_UNSORTED_MASK_QUIRK:
+        # reference stale-mask quirk: the RETURNED mask follows the pre-sort
+        # chunk order while the vectors (and their sym frames) are
+        # distance-sorted (reference: format_utils.py:170-178)
+        out_pv = point_valid[keep[:L]]
     Mk = vec.shape[0]
 
     out = np.zeros((L, P, 11), np.float32)
@@ -218,7 +227,7 @@ def build_init_map(lane_vecs, config) -> MapInputs:
         full = np.concatenate(feat, axis=-1).astype(np.float32)
 
         out[:Mk] = full
-        mask[:Mk] = pv
+        mask[:Mk] = out_pv
         pos[:Mk] = center
         ori[:Mk] = heading
 

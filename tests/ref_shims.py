@@ -424,6 +424,29 @@ def install():
         return
     _installed = True
 
+    if "yacs" not in sys.modules:
+        from prosim_tpu.config.node import CfgNode as _TpuCfgNode
+
+        class _YacsCfgNode(_TpuCfgNode):
+            """yacs.config.CfgNode API on top of prosim_tpu's CfgNode so the
+            reference config/default.py loads unmodified."""
+
+            def __init__(self, init_dict=None, key_list=None,
+                         new_allowed=False):
+                super().__init__(init_dict)
+
+            # yacs attribute probed (not called) at default.py:688
+            register_renamed_key = None
+
+            def merge_from_other_cfg(self, other):
+                self.merge_from_other(other, allow_new=True)
+
+            def merge_from_file(self, path):
+                super().merge_from_file(path, allow_new=True)
+
+        yacs = _module("yacs")
+        yacs.config = _module("yacs.config", CfgNode=_YacsCfgNode)
+
     if "torch_cluster" not in sys.modules:
         _module(
             "torch_cluster",

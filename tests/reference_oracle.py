@@ -161,6 +161,8 @@ def load_model():
     import prosim.models.prompt_encoder.base as prompt_encoder_base
     import prosim.models.condition_transformer as condition_transformer
     import prosim.models.traj_sam as traj_sam
+    _stub_parent("prosim.config", f"{REF}/prosim/config")
+    import prosim.config.default as ref_config
     import prosim.dataset.prompt_utils as prompt_utils
     import prosim.dataset.motion_tag_utils as motion_tag_utils
     import prosim.dataset.condition_utils as condition_utils
@@ -183,5 +185,6 @@ def load_model():
         motion_tag_utils=motion_tag_utils,
         condition_utils=condition_utils,
         format_utils=format_utils,
+        config=ref_config,
         torch=torch,
     )
