@@ -346,6 +346,14 @@ def get_default_config() -> CN:
     _C.MODEL.REL_POS_EDGE_FUNC = "radius"
     _C.MODEL.TYPE = "prosim_policy_relpe_T_step_temporal_close_loop"
     _C.MODEL.BPTT = False
+    _C.MODEL.PARITY = CN()
+    # bug-for-bug reproduction of the reference rollout frame quirk: the
+    # reference adds un-rotated agent-frame traj offsets to the scene-frame
+    # init position when rebuilding agent poses during rollout
+    # (reference: traj_sam.py:211-214), rotating only in the final world
+    # conversion (gpu_utils.py:260). Checkpoints trained there expect the
+    # quirk; default False keeps the geometrically consistent frame.
+    _C.MODEL.PARITY.REFERENCE_STEP_ENV_FRAME = False
     _C.MODEL.DTYPE = "float32"  # compute dtype for the network body
 
     _C.MODEL.OBS_UPDATE = CN()

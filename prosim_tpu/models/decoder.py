@@ -80,10 +80,14 @@ class SymCoordDecoder(nn.Module):
     ):
         """prompt_emb [B, N, D] -> dict with 'emd' [B, N, D] (+ goal heads)."""
         radius = self.edge_func == "radius"
+        # NO self-loops: the reference builds p2p with radius_graph /
+        # knn_graph at their loop=False default (reference: sym_coord.py:89-92)
+        # - unlike the scene encoder's knn_graph(loop=True) graphs
         p2p_idx, p2p_valid = neighbor_topk(
             prompt.pos, prompt.pos, prompt.mask, prompt.mask,
             k=self.max_neigh,
             radius=self.prompt_radius if radius else None,
+            exclude_self=True,
         )
         p2p_pe = self.p2p_pe(
             rel_pe_features(prompt.pos, prompt.ori, prompt.pos, prompt.ori, p2p_idx)

@@ -324,13 +324,11 @@ class ProSim:
             # NOTE: the traj buffer lives in each agent's init frame; going
             # back to the scene frame requires rotating by init_heading. The
             # reference skips this rotation during rollout (traj_sam.py:213)
-            # but applies it in its world conversion (gpu_utils.py:260); we
-            # use the geometrically consistent (rotated) form everywhere.
-            last_pose = jax.lax.dynamic_index_in_dim(traj, cursor - 1, axis=2, keepdims=False)
-            pos_n = init_pos + rotate_2d(last_pose[..., :2], init_heading)
-            theta_n = wrap_angle(
-                jnp.arctan2(last_pose[..., 2], last_pose[..., 3]) + init_heading
-            )
+            # but applies it in its world conversion (gpu_utils.py:260); the
+            # geometrically consistent (rotated) form is the default, the
+            # quirk is reproduced under MODEL.PARITY.REFERENCE_STEP_ENV_FRAME
+            # for checkpoints trained with the reference semantics.
+            pos_n, theta_n = agent_pose(traj, cursor)
 
             # scatter policy agents into the all-agent obs arrays; invalid
             # slots route out-of-bounds and are dropped
@@ -358,9 +356,15 @@ class ProSim:
             )
             return scene_out, (pos_n, theta_n)
 
+        ref_frame_quirk = self.config.MODEL.PARITY.REFERENCE_STEP_ENV_FRAME
+
         def agent_pose(traj, cursor):
             last = jax.lax.dynamic_index_in_dim(traj, cursor - 1, axis=2, keepdims=False)
-            pos = init_pos + rotate_2d(last[..., :2], init_heading)
+            if ref_frame_quirk:
+                # reference: traj_sam.py:211-212 (no init_heading rotation)
+                pos = init_pos + last[..., :2]
+            else:
+                pos = init_pos + rotate_2d(last[..., :2], init_heading)
             theta = wrap_angle(jnp.arctan2(last[..., 2], last[..., 3]) + init_heading)
             return pos, theta
 

@@ -502,6 +502,18 @@ def install():
         td.utils, td.augmentation, td.data_structures = utils_m, aug_m, ds_m
         utils_m.arr_utils, utils_m.state_utils, ds_m.batch = arr_m, st_m, b_m
 
+    # attn_fusion.py:83 / act_decoder.py:240 import memory-telemetry helpers
+    # from prosim.rollout.distributed_utils at call time, which would drag in
+    # the whole rollout/ + trajdata.simulation stack; no-op them
+    if "prosim.rollout.distributed_utils" not in sys.modules:
+        _module("prosim.rollout")
+        _module(
+            "prosim.rollout.distributed_utils",
+            check_mem_usage=lambda *a, **k: None,
+            print_system_mem_usage=lambda *a, **k: None,
+            get_gpu_memory_usage=lambda *a, **k: 0,
+        )
+
     # visualization module pulls trajdata.visualization + scipy filters; the
     # oracle never renders, so stub the two names traj_sam imports from it
     if "prosim.models.utils.visualization" not in sys.modules:
