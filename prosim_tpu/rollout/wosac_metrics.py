@@ -36,6 +36,7 @@ parser needs no protobuf dependency.
 
 import dataclasses
 import math
+import os
 import re
 from typing import Dict, List, Optional, Tuple
 
@@ -60,14 +61,18 @@ CHALLENGE_CONFIG: Dict[str, FeatureConfig] = {
     "linear_speed": FeatureConfig(
         "histogram", 0.0, 30.0, 60, independent_timesteps=True,
         metametric_weight=0.05),
+    # symmetric ranges use ODD bin counts so 0 is a bin CENTER, not an edge:
+    # stationary agents concentrate sim mass at exactly 0, and a knife-edge
+    # bin boundary there would split the logged noise across two bins and
+    # halve the likelihood for every parked car
     "linear_acceleration": FeatureConfig(
-        "histogram", -10.0, 10.0, 40, independent_timesteps=True,
+        "histogram", -10.0, 10.0, 41, independent_timesteps=True,
         metametric_weight=0.05),
     "angular_speed": FeatureConfig(
-        "histogram", -math.pi, math.pi, 60, independent_timesteps=True,
+        "histogram", -math.pi, math.pi, 61, independent_timesteps=True,
         metametric_weight=0.05),
     "angular_acceleration": FeatureConfig(
-        "histogram", -4 * math.pi, 4 * math.pi, 60, independent_timesteps=True,
+        "histogram", -4 * math.pi, 4 * math.pi, 61, independent_timesteps=True,
         metametric_weight=0.05),
     "distance_to_nearest_object": FeatureConfig(
         "histogram", -10.0, 80.0, 90, independent_timesteps=True,
@@ -124,21 +129,43 @@ def load_challenge_config_textproto(path: str) -> Dict[str, FeatureConfig]:
     return out
 
 
+# The vendored constants file is the source of truth when present (drop the
+# official waymo-open-dataset `challenge_config.textproto` in its place for
+# leaderboard-exact values); the in-code table above is the fallback and is
+# asserted equal to the vendored file by tests/test_wosac_golden.py.
+_VENDORED_CONFIG = os.path.join(os.path.dirname(__file__),
+                                "challenge_config.textproto")
+if os.path.exists(_VENDORED_CONFIG):
+    CHALLENGE_CONFIG.update(load_challenge_config_textproto(_VENDORED_CONFIG))
+
+
 # ------------------------------------------------------------------ features
 
+def _central_diff(x: np.ndarray) -> np.ndarray:
+    """(x[t+1] - x[t-1]) / (2 dt) along the last axis, NaN at both ends
+    (official trajectory_features.central_diff convention)."""
+    nan = np.full(x.shape[:-1] + (1,), np.nan)
+    d = (x[..., 2:] - x[..., :-2]) / (2 * DT)
+    return np.concatenate([nan, d, nan], axis=-1)
+
+
 def _kinematics(xyh: np.ndarray) -> Dict[str, np.ndarray]:
-    """xyh [..., T, 3] -> per-step features [..., T] with NaN padding at the
-    differencing boundary (official kinematics_features convention)."""
+    """xyh [..., T, 3] -> per-step features [..., T].
+
+    Central differences with NaN at both boundary steps, matching the
+    official `sim_agents_metrics/trajectory_features.py` kinematics: central
+    differencing halves the per-step perception noise that one-step diffs
+    inject into the logged features (which otherwise lands logged samples in
+    zero-mass histogram bins and collapses the kinematic likelihoods)."""
     xy, h = xyh[..., :2], xyh[..., 2]
-    nan = np.full(h.shape[:-1] + (1,), np.nan)
 
-    speed = np.linalg.norm(np.diff(xy, axis=-2), axis=-1) / DT  # [..., T-1]
-    lin_speed = np.concatenate([nan, speed], axis=-1)
-    lin_acc = np.concatenate([nan, np.diff(lin_speed, axis=-1) / DT], axis=-1)
+    vx = _central_diff(xy[..., 0])
+    vy = _central_diff(xy[..., 1])
+    lin_speed = np.hypot(vx, vy)
+    lin_acc = _central_diff(lin_speed)
 
-    dh = np.diff(np.unwrap(h, axis=-1), axis=-1) / DT
-    ang_speed = np.concatenate([nan, dh], axis=-1)
-    ang_acc = np.concatenate([nan, np.diff(ang_speed, axis=-1) / DT], axis=-1)
+    ang_speed = _central_diff(np.unwrap(h, axis=-1))
+    ang_acc = _central_diff(ang_speed)
     return {
         "linear_speed": lin_speed,
         "linear_acceleration": lin_acc,
@@ -252,22 +279,53 @@ def extract_features(
     road_edges: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     road_edges_oriented: bool = False,
     offroad_margin: float = 3.0,
+    valid: Optional[np.ndarray] = None,   # [N, T] per-step validity
 ) -> Dict[str, np.ndarray]:
     """Per-object features; [N, T] arrays (NaN where undefined), indicator
-    features [N, 1] per-rollout booleans."""
+    features [N, 1] per-rollout booleans.
+
+    `valid` marks logged-trajectory steps where the object actually exists;
+    without it, zero-filled padding at absent steps would inject phantom
+    boxes at the origin into every pairwise/TTC/road feature and corrupt the
+    finite-difference kinematics across validity gaps (the official
+    sim_agents_metrics evaluates only valid steps)."""
     N, T = xyh.shape[:2]
     feats = _kinematics(xyh)
+
+    if valid is not None:
+        # central differences touching an absent step are undefined
+        v = valid.astype(bool)
+
+        def shrink(m):  # m[t] -> m[t-1] & m[t] & m[t+1]
+            z = np.zeros((N, 1), bool)
+            return (np.concatenate([z, m[:, :-1]], 1) & m
+                    & np.concatenate([m[:, 1:], z], 1))
+
+        v1 = shrink(v)        # speed / angular speed
+        v2 = shrink(v1)       # accelerations (central diff of speeds)
+        for name, vk in (("linear_speed", v1), ("linear_acceleration", v2),
+                         ("angular_speed", v1), ("angular_acceleration", v2)):
+            feats[name] = np.where(vk, feats[name], np.nan)
+        # park absent objects far apart so they never interact with real ones
+        sentinel = 1e7 * (1.0 + np.arange(N))[:, None, None]
+        xyh = np.where(valid[..., None], xyh,
+                       np.concatenate([sentinel, sentinel, sentinel], -1))
+
     speed = np.nan_to_num(feats["linear_speed"])
 
     pd = _pair_box_distance(xyh[..., :2], xyh[..., 2], extents)
     pd[np.eye(N, dtype=bool)] = np.inf
     nearest = pd.min(axis=1)                            # [N, T]
+    ttc = _time_to_collision(xyh[..., :2], xyh[..., 2], extents, speed)
+    if valid is not None:
+        nearest = np.where(valid, nearest, np.nan)
+        ttc = np.where(valid, ttc, np.nan)
     feats["distance_to_nearest_object"] = nearest
-    feats["collision_indication"] = (nearest < 0).any(-1, keepdims=True).astype(float)
+    feats["collision_indication"] = (
+        np.nan_to_num(nearest, nan=np.inf) < 0
+    ).any(-1, keepdims=True).astype(float)
 
-    feats["time_to_collision"] = _time_to_collision(
-        xyh[..., :2], xyh[..., 2], extents, speed
-    )
+    feats["time_to_collision"] = ttc
 
     if road_edges is not None:
         a, b = road_edges
@@ -287,15 +345,18 @@ def extract_features(
             off = q[:, 0] - an
             cross = abn[:, 0] * off[:, 1] - abn[:, 1] * off[:, 0]
             signed = np.where(cross < 0, dmin, -dmin).reshape(N, T)
-            feats["distance_to_road_edge"] = signed
-            feats["offroad_indication"] = (signed > 0).any(-1, keepdims=True).astype(float)
         else:
             # lane-center fallback: distance to the nearest centerline minus
             # the margin plays the signed road-edge role (positive = offroad)
             dmin = _point_segment_dist(xy.reshape(1, -1, 2), a[None], b[None])
-            signed = (dmin.reshape(N, T) - offroad_margin)
-            feats["distance_to_road_edge"] = signed
-            feats["offroad_indication"] = (signed > 0).any(-1, keepdims=True).astype(float)
+            signed = dmin.reshape(N, T) - offroad_margin
+        if valid is not None:
+            # absent steps sit at the far-away sentinel -> spuriously offroad
+            signed = np.where(valid, signed, np.nan)
+        feats["distance_to_road_edge"] = signed
+        feats["offroad_indication"] = (
+            np.nan_to_num(signed, nan=-np.inf) > 0
+        ).any(-1, keepdims=True).astype(float)
     return feats
 
 
@@ -345,10 +406,14 @@ def scenario_metrics(
 
     kw = dict(road_edges=road_segments,
               road_edges_oriented=road_edges_oriented)
-    sim_feats = [extract_features(sim_xyh[m], extents, **kw) for m in range(M)]
-    log_feats = extract_features(log_xyh, extents, **kw)
-
     obj_valid = valid.any(-1) if valid is not None else np.ones(N, bool)
+    # simulated objects exist for the whole horizon, but objects that never
+    # appear in the log are padding and must not interact in sim either
+    sim_valid = (np.broadcast_to(obj_valid[:, None], (N, T))
+                 if valid is not None else None)
+    sim_feats = [extract_features(sim_xyh[m], extents, valid=sim_valid, **kw)
+                 for m in range(M)]
+    log_feats = extract_features(log_xyh, extents, valid=valid, **kw)
 
     scores: Dict[str, float] = {}
     for name, cfg in cfgs.items():
