@@ -100,7 +100,10 @@ def tokenize_batch(
 
     base = tokenizer.base_vocab
     for b, text in enumerate(texts):
-        enc = tokenizer.encode(text)[:max_len]
+        # LEFT truncation: overlong prompts keep their tail, matching the
+        # reference tokenizer setup (truncation_side='left',
+        # reference: text_attns.py:128-130)
+        enc = tokenizer.encode(text)[-max_len:]
         n = len(enc)
         ids[b, :n] = enc
         mask[b, :n] = True

@@ -423,3 +423,84 @@ def test_hf_llama_numerics_parity(tmp_path):
 
     valid = mask
     np.testing.assert_allclose(got[valid], want[valid], atol=2e-4, rtol=2e-4)
+
+
+def test_hf_tokenizer_fixture_reference_semantics():
+    """The real HF branch (PreTrainedTokenizerFast BPE) on the committed
+    tiny fixture, asserting the reference tokenizer contract
+    (reference: text_attns.py:122-155): 128 <A{i}> specials appended with
+    contiguous ids base_vocab + i, no BOS/EOS, right padding, LEFT
+    truncation."""
+    import os
+    from prosim_tpu.models.llm.tokenizer import HFTokenizer
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "tiny_tokenizer")
+    tok = HFTokenizer(path)
+    assert tok.base_vocab == 384
+    # contiguous agent ids, matching the reference's
+    # agent_token_id_to_nidx = {base + i: i}
+    for i in (0, 1, 11, 127):
+        assert tok.agent_token_id(i) == tok.base_vocab + i
+
+    text = build_text_prompt({11: "stop moving", 12: "turn left"})
+    ids = tok.encode(text)
+    # no BOS/EOS wrapping: all ids are in-vocab text tokens except exactly
+    # the two agent specials, which stay single tokens
+    agent_ids = [t for t in ids if t >= tok.base_vocab]
+    assert agent_ids == [tok.base_vocab + 11, tok.base_vocab + 12]
+    assert ids[0] == tok.base_vocab + 11  # nothing prepended before <A11>
+
+    # right padding + mask via tokenize_batch
+    tc = tokenize_batch(tok, [text], max_len=64, num_agents=16)
+    n = len(ids)
+    assert tc["token_mask"][0, :n].all() and not tc["token_mask"][0, n:].any()
+    assert (tc["input_ids"][0, n:] == 0).all()
+    # agent slots point at the special positions
+    assert tc["agent_slot_ids"][0, 0] == 11
+    assert (tc["agent_slot_ids"][0] == 12).sum() == 1
+    assert tc["prompt_mask"][0, 11] and tc["prompt_mask"][0, 12]
+
+    # LEFT truncation keeps the tail (reference truncation_side='left')
+    short = tokenize_batch(tok, [text], max_len=4, num_agents=16)
+    np.testing.assert_array_equal(short["input_ids"][0], ids[-4:])
+
+
+def test_hf_tokenizer_through_text_attn():
+    """HF-branch tokens drive LlamaTextAttn end-to-end: agent embedding
+    substitution at <A{i}> positions, only addressed agents move."""
+    import dataclasses
+    import os
+    from prosim_tpu.data.batch import Prompt
+    from prosim_tpu.models.llm.tokenizer import HFTokenizer
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "tiny_tokenizer")
+    tok = HFTokenizer(path)
+    cfg = dataclasses.replace(LlamaConfig.tiny(), vocab_size=tok.base_vocab)
+    assert cfg.total_vocab == tok.vocab_size
+
+    D, N, B = 16, 8, 1
+    text = build_text_prompt({2: "stop moving", 5: "accelerate"})
+    tc = tokenize_batch(tok, [text], max_len=48, num_agents=N)
+    tc = {k: jnp.asarray(v) for k, v in tc.items()}
+
+    rng = np.random.default_rng(0)
+    prompt = Prompt(
+        feat=jnp.zeros((B, N, 7)),
+        mask=jnp.ones((B, N), bool),
+        pos=jnp.asarray(rng.normal(size=(B, N, 2)), jnp.float32),
+        ori=jnp.zeros((B, N)),
+        agent_type=jnp.ones((B, N), jnp.int32),
+        obs_index=jnp.arange(N, dtype=jnp.int32)[None],
+        extent=jnp.ones((B, N, 2)),
+        goal_point=jnp.zeros((B, N, 2)),
+    )
+    emb = jnp.asarray(rng.normal(size=(B, N, D)), jnp.float32)
+
+    mod = LlamaTextAttn(hidden_dim=D, llm_config=cfg)
+    params = mod.init(jax.random.PRNGKey(0), tc, emb, prompt)
+    out, aux = mod.apply(params, tc, emb, prompt)
+
+    delta = np.abs(np.asarray(out - emb)).max(axis=-1)[0]
+    assert delta[2] > 1e-6 and delta[5] > 1e-6
+    untouched = [i for i in range(N) if i not in (2, 5)]
+    assert delta[untouched].max() == 0.0
