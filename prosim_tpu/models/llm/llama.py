@@ -38,6 +38,11 @@ class LlamaConfig:
     lora_rank: int = 0
     lora_alpha: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
+    # rematerialize each block on the backward pass: activation memory drops
+    # from every-layer-saved to one-layer-live + per-layer residuals, the
+    # difference between Llama3-8B LoRA training fitting a 16 GB chip or not
+    # (see scripts/llm_memory_audit.py); forward-only use is unaffected
+    remat: bool = False
 
     @property
     def head_dim(self):
@@ -49,7 +54,7 @@ class LlamaConfig:
 
     @classmethod
     def llama3_8b(cls, lora_rank=16):
-        return cls(lora_rank=lora_rank)
+        return cls(lora_rank=lora_rank, remat=True)
 
     @classmethod
     def tiny(cls, lora_rank=4):
@@ -240,7 +245,10 @@ class LlamaModel(nn.Module):
         )
         if c.lora_rank > 0:
             # LoRA on the embedding table (reference LoRA targets
-            # q/k/v/embed_tokens, text_attns.py:96-120): W + (a/r) A @ B
+            # q/k/v/embed_tokens, text_attns.py:96-120): W + (a/r) A @ B.
+            # The delta is applied per GATHERED row (take(A) @ B), never as a
+            # materialized [V, H] dense table: at Llama3-8B that intermediate
+            # alone is total_vocab x hidden x 4B = 2.1 GB of HBM per forward.
             la = self.param(
                 "lora_embed_a", nn.initializers.normal(0.02),
                 (c.total_vocab, c.lora_rank),
@@ -249,16 +257,25 @@ class LlamaModel(nn.Module):
                 "lora_embed_b", nn.initializers.zeros,
                 (c.lora_rank, c.hidden_size),
             )
-            embed = embed + (c.lora_alpha / c.lora_rank) * (la @ lb)
+
+            def lookup(ids):
+                base = jnp.take(embed, ids, axis=0)
+                delta = jnp.take(la, ids, axis=0) @ lb
+                return (base + (c.lora_alpha / c.lora_rank) * delta).astype(
+                    c.dtype)
+        else:
+            def lookup(ids):
+                return jnp.take(embed.astype(c.dtype), ids, axis=0)
         if inputs_embeds is None:
+            base_embeds = lookup(input_ids)
             if agent_embs is not None and agent_slot_ids is not None:
                 inputs_embeds = embed_with_agent_tokens(
-                    embed.astype(c.dtype), input_ids,
+                    base_embeds, None,
                     agent_embs.astype(c.dtype), agent_slot_ids,
                     add_mode=agent_add_mode,
                 )
             else:
-                inputs_embeds = jnp.take(embed.astype(c.dtype), input_ids, axis=0)
+                inputs_embeds = base_embeds
         x = inputs_embeds.astype(c.dtype)
         if attention_mask is None:
             attention_mask = jnp.ones(x.shape[:2], bool)
@@ -270,8 +287,9 @@ class LlamaModel(nn.Module):
         B, T = x.shape[:2]
         positions = jnp.cumsum(attention_mask, axis=-1) - 1
 
+        block_cls = nn.remat(LlamaBlock) if c.remat else LlamaBlock
         for i in range(c.num_layers):
-            x = LlamaBlock(c, name=f"layer_{i}")(x, positions, attention_mask)
+            x = block_cls(c, name=f"layer_{i}")(x, positions, attention_mask)
         x = RMSNorm(c.rms_eps, c.dtype, name="final_norm")(x)
         if return_logits:
             # untied LM head (Llama3 convention); sharded like the embedding
@@ -284,16 +302,21 @@ class LlamaModel(nn.Module):
         return x
 
 
-def embed_with_agent_tokens(embed_table, input_ids, agent_embs, agent_slot_ids,
-                            add_mode=False):
+def embed_with_agent_tokens(base_or_table, input_ids, agent_embs,
+                            agent_slot_ids, add_mode=False):
     """Token embeddings with <A{i}> rows replaced by per-agent vectors.
 
-    embed_table [V, H]; input_ids [B, T]; agent_embs [B, N, H] projected
-    policy embeddings; agent_slot_ids [B, T] = agent index at each position or
-    -1 (reference REPLACE_AGENT_TOKEN, text_attns.py:395-422). With add_mode
-    the agent vector is added onto the token embedding instead of replacing
-    it (AGENT_TOKEN_MODE='add', text_attns.py:266-270)."""
-    base = jnp.take(embed_table, input_ids, axis=0)  # [B, T, H]
+    base_or_table: gathered base embeddings [B, T, H] (pass input_ids=None),
+    or an embedding table [V, H] with input_ids [B, T] to gather here.
+    agent_embs [B, N, H] projected policy embeddings; agent_slot_ids [B, T] =
+    agent index at each position or -1 (reference REPLACE_AGENT_TOKEN,
+    text_attns.py:395-422). With add_mode the agent vector is added onto the
+    token embedding instead of replacing it (AGENT_TOKEN_MODE='add',
+    text_attns.py:266-270)."""
+    if input_ids is None:
+        base = base_or_table                              # [B, T, H]
+    else:
+        base = jnp.take(base_or_table, input_ids, axis=0)  # [B, T, H]
     safe = jnp.clip(agent_slot_ids, 0, agent_embs.shape[1] - 1)
     repl = jnp.take_along_axis(agent_embs, safe[..., None], axis=1)
     if add_mode:
