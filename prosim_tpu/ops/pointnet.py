@@ -7,10 +7,25 @@ Semantics match the reference exactly
   max-pool, out-MLP on polylines with >=1 valid point.
 """
 
+import functools
+
 import flax.linen as nn
 import jax.numpy as jnp
 
 from prosim_tpu.ops.mlp import MLP
+
+
+def _max_over_points(x):
+    """max over axis -2. For small point counts, an unrolled elementwise
+    maximum chain instead of a reduce op: identical math (inputs are
+    NaN-free), and it sidesteps an XLA:TPU fusion-pass CHECK crash
+    (fusion_util TransformWindow) hit by reduces over a tiny non-minor axis
+    of [B, C, 8, D] drag-point tensors (v5e, 2026-08 libtpu)."""
+    p = x.shape[-2]
+    if p <= 16:
+        return functools.reduce(
+            jnp.maximum, [x[..., i, :] for i in range(p)])
+    return x.max(axis=-2)
 
 
 class PointNetPolylineEncoder(nn.Module):
@@ -34,7 +49,7 @@ class PointNetPolylineEncoder(nn.Module):
         )(x)
         pre = jnp.where(point_mask[..., None], pre, 0.0)
 
-        pooled = pre.max(axis=-2)  # zeros of invalid slots participate, as in reference
+        pooled = _max_over_points(pre)  # zeros of invalid slots participate, as in reference
         x = jnp.concatenate(
             [pre, jnp.broadcast_to(pooled[..., None, :], pre.shape)], axis=-1
         )
@@ -46,7 +61,7 @@ class PointNetPolylineEncoder(nn.Module):
             name="mlps",
         )(x)
         mid = jnp.where(point_mask[..., None], mid, 0.0)
-        feat = mid.max(axis=-2)  # [..., h]
+        feat = _max_over_points(mid)  # [..., h]
 
         out = MLP([h, h, h], without_norm=True, ret_before_act=True, dtype=self.dtype, name="out_mlps")(feat)
         valid = point_mask.any(axis=-1)
