@@ -1,8 +1,16 @@
 """Benchmark: full 8 s closed-loop scene rollouts per second on one chip.
 
-Runs the flagship ProSim model (demo architecture: 6-layer encoders, 128-dim,
-2048 map polylines, 128 policy agents, 8 replan steps) on synthetic
-demo-shaped batches and measures steady-state jitted throughput.
+Flagship configuration (the default, captured as BENCH_r{N}.json by the
+driver): REAL demo-cache scenes with the host loader in the timed loop and
+ALL prompt-condition types active (goal + action-tag + drag-point +
+LLM text through the condition transformer) — the promptable path a user
+actually deploys, not a synthetic best case. The JSON line also carries
+FLOPs/MFU from XLA's compiled cost analysis.
+
+Other modes: `--mode train` (full jitted train step), `--mode wosac`
+(WOSAC protocol: B scenes x M=32 stochastic replicas per compiled rollout,
+reference: prosim/rollout/gpu_utils.py:179-228), `--synthetic`
+(demo-shaped random batches, the round-1/2 configuration).
 
 Prints ONE JSON line. `vs_baseline` compares against the per-chip share of
 the BASELINE.json target (>=100 scene rollouts/sec on a v5e-8 => 12.5 per
@@ -61,6 +69,114 @@ jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 TARGET_PER_CHIP = 100.0 / 8.0  # BASELINE.json: >=100 scenes/s on v5e-8
+DEMO_CACHE = "/root/reference/demo_dataset/trajdata_cache"
+
+# Peak dense bf16 matmul throughput per chip, for the MFU figure. Matched by
+# substring against jax.devices()[0].device_kind; unknown kinds fall back to
+# v5e (the BASELINE hardware) and the JSON records the assumption.
+PEAK_BF16_FLOPS = [
+    ("v6", 918e12),          # Trillium
+    ("v5p", 459e12),
+    ("v5", 197e12),          # v5e / "TPU v5 lite"
+    ("v4", 275e12),
+    ("v3", 123e12),
+]
+
+
+def _peak_flops():
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, peak in PEAK_BF16_FLOPS:
+        if sub in kind:
+            return kind, peak
+    return kind, 197e12
+
+
+def _cost_analysis(jitted, *args):
+    """flops + HBM bytes per invocation via an explicit lower().compile().
+
+    Entirely best-effort: the remote-TPU tunnel's chipless AOT compile helper
+    can SIGABRT on graphs the normal execution path compiles fine, so a
+    failure here must never take the bench down — it only drops the MFU
+    fields. Retried once (the helper failure is sometimes transient)."""
+    for _ in range(2):
+        try:
+            ca = jitted.lower(*args).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", -1))
+            byts = float(ca.get("bytes accessed", -1))
+            return (flops if flops > 0 else None), (byts if byts > 0 else None)
+        except Exception as e:
+            print(f"bench: cost_analysis compile failed ({type(e).__name__}); "
+                  "retrying", file=sys.stderr, flush=True)
+            time.sleep(5)
+    return None, None
+
+
+COND_TYPES = {
+    "none": [],
+    "goal": ["goal"],
+    "tags": ["goal", "v_action_tag", "drag_point"],
+    "text": ["llm_text_OneText"],
+    "all": ["goal", "v_action_tag", "drag_point", "llm_text_OneText"],
+}
+
+
+def _real_batches(config, cache_dir, batch_size, n_batches):
+    """Distinct collated demo-cache batches (train split so conditions are
+    sampled; the 16 demo scenes cycle with per-element condition reseeding)."""
+    from prosim_tpu.data.dataset import ProSimImitationDataset
+    from prosim_tpu.data.formatter import collate
+
+    cfg2 = config.clone()
+    cfg2.defrost()
+    cfg2.DATASET.SOURCE.TRAIN = ["waymo_train"]
+    cfg2.freeze()
+    ds = ProSimImitationDataset(cfg2, "train", cache_dir)
+    assert len(ds) > 0, f"no scenes under {cache_dir}"
+    out = []
+    for b in range(n_batches):
+        singles = [
+            ds.get_scene_batch((b * batch_size + i) % len(ds),
+                               seed=b * batch_size + i, device=False)
+            for i in range(batch_size)
+        ]
+        out.append((singles, ds))
+    return out
+
+
+class _LoaderInLoop:
+    """Host data pipeline in the timed loop: worker threads re-format +
+    collate scene batches ahead of the consumer (steady-state: raw scene
+    reads are cached, formatting/conditions/collation are real per-iter host
+    work, device transfer happens on the consumer's dispatch)."""
+
+    def __init__(self, ds, batch_size, n_iters, num_workers=8, prefetch=4):
+        import queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        from prosim_tpu.data.formatter import collate
+
+        self.q = queue.Queue(maxsize=prefetch)
+
+        def produce():
+            with ThreadPoolExecutor(num_workers) as ex:
+                for it in range(n_iters):
+                    idxs = [(it * batch_size + i) % len(ds)
+                            for i in range(batch_size)]
+                    seeds = [it * batch_size + i for i in range(batch_size)]
+                    singles = list(ex.map(
+                        lambda js: ds.get_scene_batch(js[0], seed=js[1],
+                                                      device=False),
+                        zip(idxs, seeds)))
+                    self.q.put(collate(singles))
+
+        self.t = threading.Thread(target=produce, daemon=True)
+        self.t.start()
+
+    def __next__(self):
+        return self.q.get()
 
 
 def main():
@@ -73,59 +189,72 @@ def main():
     ap.add_argument("--agents", type=int, default=128)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--mode", default="rollout", choices=["rollout", "train"],
-                    help="closed-loop inference or full training step")
-    ap.add_argument("--conditions", default="none",
-                    choices=["none", "goal", "tags", "text", "all"],
-                    help="prompt-condition types to run through the "
-                         "condition transformer (promptable-path bench)")
-    ap.add_argument("--real-data", action="store_true",
-                    help="use demo trajdata-cache scenes instead of synthetic")
-    ap.add_argument("--cache-dir",
-                    default="/root/reference/demo_dataset/trajdata_cache")
+    ap.add_argument("--mode", default="rollout",
+                    choices=["rollout", "train", "wosac"],
+                    help="closed-loop inference, full training step, or the "
+                         "WOSAC M-replica protocol")
+    ap.add_argument("--replicas", type=int, default=32,
+                    help="stochastic replicas per scene in --mode wosac")
+    ap.add_argument("--wosac-scenes", type=int, default=4,
+                    help="scenes per compiled rollout in --mode wosac "
+                         "(B*M rows roll out together)")
+    ap.add_argument("--conditions", default="all",
+                    choices=sorted(COND_TYPES),
+                    help="prompt-condition types through the condition "
+                         "transformer (promptable-path bench)")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="synthetic demo-shaped batches instead of the demo "
+                         "trajdata cache")
+    ap.add_argument("--no-loader", action="store_true",
+                    help="reuse pre-staged device batches instead of running "
+                         "the host loader inside the timed loop")
+    ap.add_argument("--cache-dir", default=DEMO_CACHE)
     ap.add_argument("--opts", nargs="*", default=[],
                     help="extra config KEY VALUE overrides")
     args = ap.parse_args()
 
+    real_data = (not args.synthetic) and os.path.isdir(args.cache_dir)
+    if not args.synthetic and not real_data:
+        print(f"bench: cache {args.cache_dir} absent -> synthetic",
+              file=sys.stderr)
+
     from prosim_tpu.config import get_config
-    from prosim_tpu.data.synthetic import make_synthetic_batch
     from prosim_tpu.models.prosim import ProSim
     import jax.numpy as jnp
+    import numpy as np
 
-    cond_types = {
-        "none": [],
-        "goal": ["goal"],
-        "tags": ["goal", "v_action_tag", "drag_point"],
-        "text": ["llm_text_OneText"],
-        "all": ["goal", "v_action_tag", "drag_point", "llm_text_OneText"],
-    }[args.conditions]
+    cond_types = COND_TYPES[args.conditions]
+    batch_size = args.wosac_scenes if args.mode == "wosac" else args.batch
     config = get_config(opts=[
         "DATASET.FORMAT.PAD.NUM_LANES", str(args.lanes),
         "DATASET.FORMAT.PAD.NUM_OBS_AGENTS", str(args.obs_agents),
         "DATASET.FORMAT.PAD.NUM_AGENTS", str(args.agents),
         "MODEL.DTYPE", args.dtype,
         "PROMPT.CONDITION.TYPES", repr(cond_types),
+        # conditions must actually be SAMPLED for the batch to carry them:
+        # 'fix' + rate 1.0 = every eligible agent conditioned, the heaviest
+        # honest promptable load
+        "PROMPT.CONDITION.SAMPLE_MODE.TRAIN", "fix",
+        "PROMPT.CONDITION.SAMPLE_MODE.VAL", "fix",
+        "PROMPT.CONDITION.RANDOM_SAMPLE.TRAIN", "True",
+        "PROMPT.CONDITION.SAMPLE_RATE", "1.0",
     ] + list(args.opts))
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = ProSim(config, dtype=dtype)
-    if args.real_data:
-        import os
 
-        from prosim_tpu.data.dataset import ProSimImitationDataset
+    loader = None
+    if real_data:
         from prosim_tpu.data.formatter import collate
 
-        env = "waymo_train"
-        cfg2 = config.clone()
-        cfg2.defrost()
-        cfg2.DATASET.SOURCE.VAL = [env]
-        cfg2.freeze()
-        ds = ProSimImitationDataset(cfg2, "val", args.cache_dir)
-        singles = [ds.get_scene_batch(i % len(ds)) for i in range(args.batch)]
+        staged = _real_batches(config, args.cache_dir, batch_size, 1)
+        singles, ds = staged[0]
         batch = collate(singles)
     else:
+        from prosim_tpu.data.synthetic import make_synthetic_batch
+
         batch = make_synthetic_batch(
             config,
-            batch_size=args.batch,
+            batch_size=batch_size,
             num_lanes=args.lanes,
             num_obs_agents=args.obs_agents,
             num_agents=args.agents,
@@ -134,6 +263,14 @@ def main():
     params = model.init(jax.random.PRNGKey(0), batch)
     key = jax.random.PRNGKey(1)
 
+    # NOTE: measurements must end in a host fetch of a value derived from
+    # the LAST iteration's output. Through the remote-TPU tunnel,
+    # jax.block_until_ready returns before the device queue drains, so a
+    # block-based timing over-reports throughput by orders of magnitude
+    # (verified: dispatch-only loops "finish" in ms while the device needs
+    # seconds per batch). Device execution is FIFO, so fetching a scalar
+    # from the final output bounds the full pipeline.
+    scenes_per_iter = batch_size
     if args.mode == "train":
         from prosim_tpu.train.optim import build_optimizer
         from prosim_tpu.train.train_step import make_train_step
@@ -141,60 +278,98 @@ def main():
         optimizer = build_optimizer(config, params)
         opt_state = optimizer.init(params)
         step = jax.jit(make_train_step(model, optimizer, config))
+        cost_args = (step, params, opt_state, batch, key)
         params, opt_state, losses = step(params, opt_state, batch, key)
         float(losses["full_loss"])  # compile + warmup + drain
-        t0 = time.perf_counter()
-        for i in range(args.iters):
-            params, opt_state, losses = step(
-                params, opt_state, batch, jax.random.fold_in(key, i)
-            )
-        # params chain step-to-step; fetching the last loss drains the queue
-        float(losses["full_loss"])
-        dt = time.perf_counter() - t0
+
+        def run_iter(p_state, b, k):
+            p, s = p_state
+            p, s, losses = step(p, s, b, k)
+            return (p, s), losses["full_loss"]
+
+        state = (params, opt_state)
         metric = "train_scenes_per_sec_per_chip"
+    elif args.mode == "wosac":
+        from prosim_tpu.rollout.rollout import parallel_rollout
+
+        M = args.replicas
+        roll = jax.jit(
+            lambda p, b, k: parallel_rollout(model, p, b, M, k)
+            ["rollout_traj"].sum())
+        cost_args = (roll, params, batch, key)
+        float(roll(params, batch, key))
+
+        def run_iter(state, b, k):
+            return state, roll(params, b, k)
+
+        state = None
+        metric = "wosac_m32_scene_rollouts_per_sec_per_chip"
     else:
-        # NOTE: measurements must end in a host fetch of a value derived from
-        # the LAST iteration's output. Through the remote-TPU tunnel,
-        # jax.block_until_ready returns before the device queue drains, so a
-        # block-based timing over-reports throughput by orders of magnitude
-        # (verified: dispatch-only loops "finish" in ms while the device needs
-        # seconds per batch). Device execution is FIFO, so fetching a scalar
-        # from the final output bounds the full pipeline.
         fwd = jax.jit(
             lambda p, b, k: model.forward(p, b, "rollout", k)["rollout_traj"].sum()
         )
+        cost_args = (fwd, params, batch, key)
         float(fwd(params, batch, key))  # compile + warmup + drain
-        t0 = time.perf_counter()
-        for i in range(args.iters):
-            out = fwd(params, batch, jax.random.fold_in(key, i))
-        float(out)  # forced fetch: waits for every queued iteration
-        dt = time.perf_counter() - t0
+
+        def run_iter(state, b, k):
+            return state, fwd(params, b, k)
+
+        state = None
         metric = "closed_loop_scene_rollouts_per_sec_per_chip"
 
-    scenes_per_sec = args.batch * args.iters / dt
+    flops_per_iter, bytes_per_iter = _cost_analysis(*cost_args)
+
+    loader_in_loop = real_data and not args.no_loader
+    if loader_in_loop:
+        loader = _LoaderInLoop(ds, batch_size, args.iters)
+        # let the prefetch queue fill so the measurement is steady-state
+        # overlap, not a cold host pipeline
+        time.sleep(2.0)
+
+    t0 = time.perf_counter()
+    out = None
+    for i in range(args.iters):
+        b = next(loader) if loader_in_loop else batch
+        state, out = run_iter(state, b, jax.random.fold_in(key, i))
+    float(out)  # forced fetch: waits for every queued iteration
+    dt = time.perf_counter() - t0
+
+    scenes_per_sec = scenes_per_iter * args.iters / dt
 
     # agent-steps/sec/chip (BASELINE.md tracked metric): valid policy agents
     # per scene x 80 closed-loop steps (8 replans x 10 Hz chunks)
-    import numpy as np
-
-    agents_per_scene = float(np.asarray(batch.prompt.mask).sum()) / args.batch
+    agents_per_scene = float(np.asarray(batch.prompt.mask).sum()) / batch_size
     steps = int(batch.fut_obs.feat.shape[1]) * config.ROLLOUT.POLICY.REPLAN_FREQ
-    agent_steps = scenes_per_sec * agents_per_scene * steps
+    mult = args.replicas if args.mode == "wosac" else 1
+    agent_steps = scenes_per_sec * mult * agents_per_scene * steps
 
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(scenes_per_sec, 3),
-                "unit": "scenes/s",
-                "vs_baseline": round(scenes_per_sec / TARGET_PER_CHIP, 3),
-                "agent_steps_per_sec_per_chip": round(agent_steps, 1),
-                "conditions": args.conditions,
-                "mode": args.mode,
-                "real_data": bool(args.real_data),
-            }
-        )
-    )
+    kind, peak = _peak_flops()
+    result = {
+        "metric": metric,
+        "value": round(scenes_per_sec, 3),
+        "unit": "scenes/s",
+        "vs_baseline": round(scenes_per_sec / TARGET_PER_CHIP, 3),
+        "agent_steps_per_sec_per_chip": round(agent_steps, 1),
+        "conditions": args.conditions,
+        "mode": args.mode,
+        "real_data": real_data,
+        "loader_in_loop": loader_in_loop,
+        "batch": batch_size,
+        "device_kind": kind,
+    }
+    if args.mode == "wosac":
+        result["replicas"] = args.replicas
+    if flops_per_iter:
+        iters_per_sec = scenes_per_sec / scenes_per_iter
+        result["tflops_per_scene"] = round(
+            flops_per_iter / scenes_per_iter / 1e12, 4)
+        result["mfu"] = round(flops_per_iter * iters_per_sec / peak, 4)
+        result["assumed_peak_tflops"] = round(peak / 1e12, 1)
+    if bytes_per_iter:
+        iters_per_sec = scenes_per_sec / scenes_per_iter
+        result["hbm_gb_per_sec"] = round(bytes_per_iter * iters_per_sec / 1e9, 1)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

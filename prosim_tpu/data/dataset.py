@@ -76,7 +76,12 @@ class ProSimImitationDataset:
             self._scene_cache[key] = scene
         return scene
 
-    def get_scene_batch(self, idx: int, seed: Optional[int] = None) -> SceneBatch:
+    def get_scene_batch(self, idx: int, seed: Optional[int] = None,
+                        device: bool = True) -> SceneBatch:
+        """Format one scene. device=False keeps every leaf a host numpy
+        array so worker threads never touch the device; `collate` then does
+        one transfer per leaf for the whole batch (through a remote-TPU
+        tunnel, per-scene transfers serialize against compute)."""
         env, scene_name, ts = self.index[idx]
         rng = np.random.default_rng(seed if seed is not None else idx)
         scene = self._load(env, scene_name)
@@ -91,6 +96,8 @@ class ProSimImitationDataset:
             )
             batch = batch.replace(conditions=conds)
 
+        if not device:
+            return batch
         import jax
         import jax.numpy as jnp
 
@@ -117,7 +124,8 @@ class ProSimImitationDataset:
         if num_workers <= 0:
             for i in starts:
                 idxs = order[i : i + batch_size]
-                yield collate([self.get_scene_batch(int(j)) for j in idxs])
+                yield collate(
+                    [self.get_scene_batch(int(j), device=False) for j in idxs])
             return
 
         import queue
@@ -147,7 +155,8 @@ class ProSimImitationDataset:
                             return
                         idxs = order[i : i + batch_size]
                         scenes = list(
-                            ex.map(lambda j: self.get_scene_batch(int(j)), idxs)
+                            ex.map(lambda j: self.get_scene_batch(
+                                int(j), device=False), idxs)
                         )
                         if not blocking_put(collate(scenes)):
                             return

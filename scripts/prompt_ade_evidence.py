@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--ckpt", default="runs/demo_evidence")
     ap.add_argument("--cond-sets", nargs="*",
                     default=["uncondition", "goal_1.0"])
+    ap.add_argument("--train-cond-types", default="goal",
+                    choices=["goal", "all"],
+                    help="must match the --cond-types the checkpoint was "
+                         "trained with (defines the model's condition "
+                         "encoder set and hence the param tree)")
     ap.add_argument("--m", type=int, default=4)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--cpu", action="store_true")
@@ -61,11 +66,13 @@ def main():
         else find_ckpt(args.ckpt)
     print("checkpoint:", ckpt, flush=True)
 
-    # the train config: goal-conditioned demo arch (must match training)
+    # the train config (must match training, it defines the param tree)
+    types = ("['llm_text_OneText','goal','drag_point','v_action_tag']"
+             if args.train_cond_types == "all" else "['goal']")
     config = get_config(opts=[
         "DATASET.SOURCE.VAL", "['waymo_train']",
         "DATASET.SOURCE.ROLLOUT", "['waymo_train']",
-        "PROMPT.CONDITION.TYPES", "['goal']",
+        "PROMPT.CONDITION.TYPES", types,
         "MODEL.DTYPE", "bfloat16",
     ])
     params, model, _ = restore_eval_params(config, ckpt, args.cache_dir)

@@ -34,6 +34,14 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--m", type=int, default=8, help="WOSAC rollout replicas")
+    ap.add_argument("--cond-types", default="goal", choices=["goal", "all"],
+                    help="'all' trains the full promptable surface "
+                         "(goal + action-tag + drag-point + LLM text, mixed "
+                         "fix-mode sampling) so every Table-1 row evaluates "
+                         "a trained encoder (reference trains with "
+                         "cond_sampler/text_goal_dragpoint_v_action_tag_0.25;"
+                         " at demo-cache scale we sample at 0.5 so 400 steps "
+                         "see enough conditioned agents per type)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--small", action="store_true",
                     help="small arch + padding (CI/CPU smoke)")
@@ -51,11 +59,23 @@ def main():
     from prosim_tpu.data.dataset import ProSimImitationDataset
     from prosim_tpu.train.trainer import Trainer
 
+    if args.cond_types == "all":
+        cond_opts = [
+            "PROMPT.CONDITION.TYPES",
+            "['llm_text_OneText','goal','drag_point','v_action_tag']",
+            "PROMPT.CONDITION.SAMPLE_MODE.TRAIN", "fix",
+            "PROMPT.CONDITION.SAMPLE_MODE.VAL", "fix",
+            "PROMPT.CONDITION.RANDOM_SAMPLE.TRAIN", "True",
+            "PROMPT.CONDITION.RANDOM_SAMPLE.VAL", "True",
+            "PROMPT.CONDITION.SAMPLE_RATE", "0.5",
+        ]
+    else:
+        cond_opts = ["PROMPT.CONDITION.TYPES", "['goal']"]
     opts = [
         "DATASET.SOURCE.TRAIN", "['waymo_train']",
         "DATASET.SOURCE.VAL", "['waymo_train']",
         "DATASET.SOURCE.ROLLOUT", "['waymo_train']",
-        "PROMPT.CONDITION.TYPES", "['goal']",
+        *cond_opts,
         "TRAIN.LR", str(args.lr),
         "TRAIN.BATCH_SIZE", str(args.batch),
         "TRAIN.SCHEDULER.WARMUP_STEPS", "50",
