@@ -138,7 +138,10 @@ def load_scene(cache_dir: str, env_name: str, scene_name: str, dt: float = 0.1,
 
     agent_meta = []
     for a in meta.agents:
-        t = a.type.__dict__.get("_init_args", ((0,), {}))[0][0]
+        # stub-unpickled enums keep their value in _init_args; a real
+        # trajdata AgentType (IntEnum) or womd_ingest stand-in is int-like
+        t = (int(a.type) if isinstance(a.type, int)
+             else a.type.__dict__.get("_init_args", ((0,), {}))[0][0])
         agent_meta.append(
             AgentMeta(str(a.name), int(t), int(a.first_timestep), int(a.last_timestep))
         )
