@@ -49,11 +49,21 @@ def _rot(xy, theta):
 
 
 def to_frame(states, frame_xy, frame_h):
-    """Express world states [.., 8] in the frame at (frame_xy, frame_h)."""
+    """Express world states [.., 8] in the frame at (frame_xy, frame_h).
+
+    One cos/sin evaluation shared by the three xy-pair rotations and direct
+    column writes (no fancy-index round trips) — bit-identical to rotating
+    each pair by -frame_h via _rot (cos(-h)=cos h, sin(-h)=-sin h exactly)."""
     out = states.copy()
-    out[..., [X, Y]] = _rot(states[..., [X, Y]] - frame_xy, -frame_h)
-    out[..., [VX, VY]] = _rot(states[..., [VX, VY]], -frame_h)
-    out[..., [AX, AY]] = _rot(states[..., [AX, AY]], -frame_h)
+    c, s = np.cos(frame_h), np.sin(frame_h)
+    x = states[..., X] - frame_xy[..., 0]
+    y = states[..., Y] - frame_xy[..., 1]
+    out[..., X] = x * c + y * s
+    out[..., Y] = y * c - x * s
+    out[..., VX] = states[..., VX] * c + states[..., VY] * s
+    out[..., VY] = states[..., VY] * c - states[..., VX] * s
+    out[..., AX] = states[..., AX] * c + states[..., AY] * s
+    out[..., AY] = states[..., AY] * c - states[..., AX] * s
     out[..., H] = _wrap(states[..., H] - frame_h)
     return out
 
@@ -74,6 +84,57 @@ def obs_channels(rel_states):
 
 # --------------------------------------------------------------------- map
 
+def _flat_lane_parts(smap, map_cfg):
+    """All lane parts (center/left/right polylines) concatenated into flat
+    arrays, cached on the SceneMap — lane geometry is static, so per query
+    only the near-mask subsetting and the frame transform remain."""
+    key = (tuple(map_cfg.INCLUDE_TYPES), map_cfg.CENTER_SAMPLE_RATE,
+           map_cfg.EDGE_SAMPLE_RATE)
+    cache = getattr(smap, "_flat_parts_cache", None)
+    if cache is not None and cache[0] == key:
+        return cache[1]
+    parts_pts, lens, types_l, rates_l, lane_idx = [], [], [], [], []
+    for li, lane in enumerate(smap.lanes):
+        for kind, pts_arr, rate in (
+            ("center", lane.center, map_cfg.CENTER_SAMPLE_RATE),
+            ("left_edge", lane.left_edge, map_cfg.EDGE_SAMPLE_RATE),
+            ("right_edge", lane.right_edge, map_cfg.EDGE_SAMPLE_RATE),
+        ):
+            if kind not in map_cfg.INCLUDE_TYPES or pts_arr is None:
+                continue
+            parts_pts.append(pts_arr)
+            lens.append(len(pts_arr))
+            types_l.append(LANE_TYPE[kind])
+            rates_l.append(rate)
+            lane_idx.append(li)
+    flat = {
+        "pts": (np.concatenate(parts_pts, axis=0) if parts_pts
+                else np.zeros((0, 2))),
+        "lens": np.asarray(lens, np.int64),
+        "types": np.asarray(types_l, np.float32),
+        "rates": np.asarray(rates_l, np.int64),
+        "lane_idx": np.asarray(lane_idx, np.int64),
+    }
+    smap._flat_parts_cache = (key, flat)
+    return flat
+
+
+def _tls_at(smap, scene_ts):
+    """Per-lane traffic-light status at scene_ts as one [num_lanes] float32
+    array, cached per timestep on the SceneMap."""
+    cache = getattr(smap, "_tls_at_cache", None)
+    if cache is None:
+        cache = {}
+        smap._tls_at_cache = cache
+    vec = cache.get(scene_ts)
+    if vec is None:
+        vec = np.asarray(
+            [smap.traffic_light_status(l.lane_id, scene_ts)
+             for l in smap.lanes], np.float32)
+        cache[scene_ts] = vec
+    return vec
+
+
 def vectorize_lanes(scene: SceneData, center_xy, center_h, scene_ts, config):
     """World lanes -> scene-frame 6-d segment vectors chunked per lane
     (reference: prosim/dataset/data_utils.py:155-252)."""
@@ -91,43 +152,35 @@ def vectorize_lanes(scene: SceneData, center_xy, center_h, scene_ts, config):
         np.linalg.norm(smap.lane_centers - np.asarray(center_xy), axis=-1) < lane_dist
     )
 
-    # native fast path: flatten parts and call the C++ data engine
+    # native fast path: flatten parts once per map (cached on the SceneMap),
+    # subset the flat arrays for this query with vectorized masks, and call
+    # the C++ data engine
     from prosim_tpu import native as _native
 
     if _native.available():
-        parts_pts, offsets, types_l, tls_l, rates_l = [], [0], [], [], []
-        total = 0
-        for li in np.nonzero(near)[0]:
-            lane = smap.lanes[li]
-            tls_v = smap.traffic_light_status(lane.lane_id, scene_ts)
-            for kind, pts_arr, rate in (
-                ("center", lane.center, map_cfg.CENTER_SAMPLE_RATE),
-                ("left_edge", lane.left_edge, map_cfg.EDGE_SAMPLE_RATE),
-                ("right_edge", lane.right_edge, map_cfg.EDGE_SAMPLE_RATE),
-            ):
-                if kind not in map_cfg.INCLUDE_TYPES or pts_arr is None:
-                    continue
-                parts_pts.append(pts_arr)
-                total += len(pts_arr)
-                offsets.append(total)
-                types_l.append(LANE_TYPE[kind])
-                tls_l.append(tls_v)
-                rates_l.append(rate)
-        if not parts_pts:
+        flat = _flat_lane_parts(smap, map_cfg)
+        near_part = near[flat["lane_idx"]]               # [num_parts]
+        if near_part.any():
+            lens = flat["lens"][near_part]
+            pts = flat["pts"][np.repeat(near_part, flat["lens"])]
+            offsets = np.zeros(len(lens) + 1, np.int64)
+            np.cumsum(lens, out=offsets[1:])
+            tls_vec = _tls_at(smap, scene_ts)            # [num_lanes]
+            out = _native.vectorize_lanes_native(
+                pts,
+                offsets,
+                flat["types"][near_part],
+                tls_vec[flat["lane_idx"][near_part]],
+                flat["rates"][near_part],
+                np.asarray(center_xy, np.float64),
+                float(center_h),
+                float(map_range),
+                int(max_pts),
+            )
+            if out is not None:
+                return out
+        else:
             return np.zeros((0, max_pts - 1, 6), np.float32)
-        out = _native.vectorize_lanes_native(
-            np.concatenate(parts_pts, axis=0),
-            np.asarray(offsets, np.int64),
-            np.asarray(types_l, np.float32),
-            np.asarray(tls_l, np.float32),
-            np.asarray(rates_l, np.int64),
-            np.asarray(center_xy, np.float64),
-            float(center_h),
-            float(map_range),
-            int(max_pts),
-        )
-        if out is not None:
-            return out
 
     for li in np.nonzero(near)[0]:
         lane = smap.lanes[li]
@@ -210,23 +263,34 @@ def build_init_map(lane_vecs, config) -> MapInputs:
         heading = np.arctan2(end[:, 1] - start[:, 1], end[:, 0] - start[:, 0])
         center = (start + end) / 2
 
-        local = vec.copy()
-        local[..., 0:2] = _rot(local[..., 0:2] - center[:, None], -heading[:, None])
-        local[..., 2:4] = _rot(local[..., 2:4] - center[:, None], -heading[:, None])
-
-        feat = [local]
+        # rotate both point pairs by -heading with one cos/sin, writing
+        # straight into the padded output (no intermediate copies; same math
+        # as _rot, see to_frame)
+        o = out[:Mk]
+        c, s = np.cos(heading)[:, None], np.sin(heading)[:, None]
+        cx, cy = center[:, None, 0], center[:, None, 1]
+        x0 = vec[..., 0] - cx
+        y0 = vec[..., 1] - cy
+        o[..., 0] = x0 * c + y0 * s
+        o[..., 1] = y0 * c - x0 * s
+        x1 = vec[..., 2] - cx
+        y1 = vec[..., 3] - cy
+        o[..., 2] = x1 * c + y1 * s
+        o[..., 3] = y1 * c - x1 * s
+        o[..., 4] = vec[..., 4]
+        o[..., 5] = vec[..., 5]
+        ch = 6
         if fmt.WITH_TYPE_EMB:
-            onehot = np.zeros((Mk, P, 3), np.float32)
             for tid in (1, 2, 3):
-                onehot[..., tid - 1] = local[..., 4] == tid
-            feat.append(onehot)
+                o[..., ch + tid - 1] = vec[..., 4] == tid
+            ch += 3
         if fmt.WITH_DIR:
-            diff = local[..., 2:4] - local[..., 0:2]
-            norm = np.clip(np.linalg.norm(diff, axis=-1, keepdims=True), 1e-6, None)
-            feat.append(diff / norm)
-        full = np.concatenate(feat, axis=-1).astype(np.float32)
+            dx = o[..., 2] - o[..., 0]
+            dy = o[..., 3] - o[..., 1]
+            norm = np.clip(np.sqrt(dx * dx + dy * dy), 1e-6, None)
+            o[..., ch] = dx / norm
+            o[..., ch + 1] = dy / norm
 
-        out[:Mk] = full
         mask[:Mk] = out_pv
         pos[:Mk] = center
         ori[:Mk] = heading
@@ -269,11 +333,16 @@ def build_obs_window(scene_states, scene_valid, types, extents, origin_idx,
 
     scene_states [A, T, 8] already in scene frame. Returns feat [A, Th, C],
     step_mask [A, Th], pos [A, 2], ori [A]."""
-    A = scene_states.shape[0]
-    Th = hist_steps
     window = scene_states[:, start:end]  # [A, Th, 8]
     wvalid = scene_valid[:, start:end]
+    return _obs_from_windows(window, wvalid, types, extents, hist_steps)
 
+
+def _obs_from_windows(window, wvalid, types, extents, Th):
+    """Core of build_obs_window on pre-sliced windows [A, Th, 8] (rows are
+    independent, so stacked (agent, replan-step) windows batch through one
+    call)."""
+    A = window.shape[0]
     origin = window[:, -1]  # [A, 8]
     origin_ok = wvalid[:, -1]
 
@@ -439,47 +508,51 @@ def format_scene(scene: SceneData, config, scene_ts: int, split: str = "train",
     io_init_vel = np.zeros((T, N_pad, 2), np.float32)
     io_extent = np.zeros((T, N_pad, 2), np.float32)
 
-    for ti, t in enumerate(t_indices):
-        # local state at t: fut[t-1] (t>0) or hist[-1] (t==0), abs frame index:
-        st_idx = scene_ts + t
-        local = sstates[tgt, st_idx]
-        local_ok = svalid[tgt, st_idx] & np.isfinite(local[:, [X, Y, H]]).all(-1)
+    # vectorized over all replan indices at once (same math as the per-ti
+    # loop this replaces: local frame at scene_ts+t, future chunk of S steps,
+    # everything re-expressed in that local frame)
+    if N > 0:
+        sts = sstates[tgt]                       # [N, Tlen, 8]
+        svs = svalid[tgt]                        # [N, Tlen]
+        st_idx = scene_ts + t_indices            # [T]
+        local = sts[:, st_idx].transpose(1, 0, 2)              # [T, N, 8]
+        local_ok = (svs[:, st_idx].T
+                    & np.isfinite(local[..., [X, Y, H]]).all(-1))  # [T, N]
 
-        tgt_lo = st_idx + 1
-        tgt_hi = min(tgt_lo + S, scene.length)
-        fut_chunk = np.full((N, S, STATE_DIM), np.nan)
-        fut_chunk[:, : tgt_hi - tgt_lo] = sstates[tgt, tgt_lo:tgt_hi]
-        chunk_valid_any = ~np.isnan(fut_chunk[..., X])  # [N, S]
+        # future chunks: frames st_idx+1 .. st_idx+S, NaN past scene end
+        chunk_idx = st_idx[:, None] + 1 + np.arange(S)[None, :]   # [T, S]
+        in_len = chunk_idx < scene.length
+        fut_chunk = sts[:, np.minimum(chunk_idx, scene.length - 1)]  # [N,T,S,8]
+        fut_chunk = np.where(in_len[None, :, :, None], fut_chunk, np.nan)
+        fut_chunk = fut_chunk.transpose(1, 0, 2, 3)               # [T, N, S, 8]
 
-        ok = local_ok & chunk_valid_any.any(-1)
-        if not ok.any():
-            continue
-        rel = to_frame(
-            fut_chunk[ok], local[ok][:, None, [X, Y]], local[ok][:, None, H]
-        )
-        elems = [rel[..., [X, Y]], rel[..., [H]]]
-        if pred_vel:
-            elems.append(rel[..., [VX, VY]])
-        rel_t = np.concatenate(elems, axis=-1)  # [K, S, tgt_dim]
+        ok = local_ok & (~np.isnan(fut_chunk[..., X])).any(-1)    # [T, N]
+        any_t = ok.any(-1)                                        # [T]
 
-        io_tgt[ti, :N][ok] = np.nan_to_num(rel_t)
-        io_tgt_valid[ti, :N][ok] = ~np.isnan(rel_t)
-        io_mask[ti, :N] = ok
-        io_pos[ti, :N][ok] = local[ok][:, [X, Y]]
-        io_ori[ti, :N][ok] = local[ok][:, H]
-        io_type[ti, :N] = scene.agent_types[tgt]
-        io_extent[ti, :N] = np.nan_to_num(scene.extents[tgt])
+        frame_xy = local[..., None, [X, Y]]                       # [T, N, 1, 2]
+        frame_h = local[..., None, H]                             # [T, N, 1]
+        rel = to_frame(fut_chunk, frame_xy, frame_h)
+        cols = [X, Y, H, VX, VY] if pred_vel else [X, Y, H]
+        rel_t = rel[..., cols]                                    # [T, N, S, D]
 
-        # goal in local frame at t
-        g = sstates[tgt, goal_t]
+        okm = ok[..., None, None]
+        io_tgt[:, :N] = np.where(okm, np.nan_to_num(rel_t), 0.0)
+        io_tgt_valid[:, :N] = okm & ~np.isnan(rel_t)
+        io_mask[:, :N] = ok
+        io_pos[:, :N] = np.where(ok[..., None], local[..., [X, Y]], 0.0)
+        io_ori[:, :N] = np.where(ok, local[..., H], 0.0)
+        io_type[any_t, :N] = scene.agent_types[tgt][None]
+        io_extent[any_t, :N] = np.nan_to_num(scene.extents[tgt])[None]
+
+        # goal + initial velocity in the local frame at t
+        g = np.broadcast_to(sstates[tgt, goal_t], local.shape)    # [T, N, 8]
         if config.DATASET.FORMAT.GOAL.LOCAL:
-            g = to_frame(g[ok][:, None], local[ok][:, None, [X, Y]], local[ok][:, None, H])[:, 0]
-            io_goal[ti, :N][ok] = np.nan_to_num(g[:, [X, Y]])
-        else:
-            io_goal[ti, :N][ok] = np.nan_to_num(g[ok][:, [X, Y]])
-
-        v = to_frame(local[ok][:, None], local[ok][:, None, [X, Y]], local[ok][:, None, H])[:, 0]
-        io_init_vel[ti, :N][ok] = np.nan_to_num(v[:, [VX, VY]])
+            g = to_frame(g[:, :, None], frame_xy, frame_h)[:, :, 0]
+        io_goal[:, :N] = np.where(ok[..., None],
+                                  np.nan_to_num(g[..., [X, Y]]), 0.0)
+        v = to_frame(local[:, :, None], frame_xy, frame_h)[:, :, 0]
+        io_init_vel[:, :N] = np.where(ok[..., None],
+                                      np.nan_to_num(v[..., [VX, VY]]), 0.0)
 
     # full future xy in the frame of hist[-1]
     full_xy = np.full((N_pad, T * S, 2), np.nan, np.float32)
@@ -512,18 +585,25 @@ def format_scene(scene: SceneData, config, scene_ts: int, split: str = "train",
     fo_mask = np.zeros((R, A_pad, Th), bool)
     fo_pos = np.zeros((R, A_pad, 2), np.float32)
     fo_ori = np.zeros((R, A_pad), np.float32)
-    for ri in range(1, R):
-        end_t = int(t_indices[ri])
-        hi = scene_ts + end_t + 1
-        lo = hi - Th
-        f, m, p, o = build_obs_window(
-            sstates[uni], svalid[uni], scene.agent_types[uni], scene.extents[uni],
-            None, lo, hi, Th, config,
+    if R > 1 and A > 0:
+        # all replan windows batched through one _obs_from_windows call:
+        # window ri covers frames (scene_ts + t_indices[ri] + 1 - Th, .. + 1)
+        hi = scene_ts + t_indices[1:].astype(np.int64) + 1      # [R-1]
+        win_idx = hi[:, None] - Th + np.arange(Th)[None, :]     # [R-1, Th]
+        Rm = R - 1
+        windows = sstates[uni][:, win_idx]      # [A, R-1, Th, 8]
+        wvalids = svalid[uni][:, win_idx]
+        f, m, p, o = _obs_from_windows(
+            windows.reshape(A * Rm, Th, STATE_DIM),
+            wvalids.reshape(A * Rm, Th),
+            np.repeat(scene.agent_types[uni], Rm),
+            np.repeat(scene.extents[uni], Rm, axis=0),
+            Th,
         )
-        fo_feat[ri, :A] = f
-        fo_mask[ri, :A] = m
-        fo_pos[ri, :A] = p
-        fo_ori[ri, :A] = o
+        fo_feat[1:, :A] = f.reshape(A, Rm, Th, -1).transpose(1, 0, 2, 3)
+        fo_mask[1:, :A] = m.reshape(A, Rm, Th).transpose(1, 0, 2)
+        fo_pos[1:, :A] = p.reshape(A, Rm, 2).transpose(1, 0, 2)
+        fo_ori[1:, :A] = o.reshape(A, Rm).T
 
     fut_obs = FutObs(
         feat=fo_feat[None],
