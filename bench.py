@@ -145,38 +145,23 @@ def _real_batches(config, cache_dir, batch_size, n_batches):
     return out
 
 
-class _LoaderInLoop:
-    """Host data pipeline in the timed loop: worker threads re-format +
-    collate scene batches ahead of the consumer (steady-state: raw scene
-    reads are cached, formatting/conditions/collation are real per-iter host
-    work, device transfer happens on the consumer's dispatch)."""
+def _loader_in_loop(ds, batch_size, n_iters, num_workers=1, prefetch=3):
+    """Host data pipeline in the timed loop: ONE pipeline thread re-formats,
+    slab-collates, and device-transfers scene batches ahead of the consumer
+    (steady-state: raw scene reads are cached; formatting, condition
+    sampling, collation, and the host->device transfer are real per-iter
+    work). One worker is the measured optimum on the single-core bench host
+    (see prosim_tpu/data/loader.py)."""
+    from prosim_tpu.data.loader import pipelined_batches
 
-    def __init__(self, ds, batch_size, n_iters, num_workers=8, prefetch=4):
-        import queue
-        import threading
-        from concurrent.futures import ThreadPoolExecutor
+    def pairs():
+        for n in range(n_iters * batch_size):
+            yield n % len(ds), n
 
-        from prosim_tpu.data.formatter import collate
-
-        self.q = queue.Queue(maxsize=prefetch)
-
-        def produce():
-            with ThreadPoolExecutor(num_workers) as ex:
-                for it in range(n_iters):
-                    idxs = [(it * batch_size + i) % len(ds)
-                            for i in range(batch_size)]
-                    seeds = [it * batch_size + i for i in range(batch_size)]
-                    singles = list(ex.map(
-                        lambda js: ds.get_scene_batch(js[0], seed=js[1],
-                                                      device=False),
-                        zip(idxs, seeds)))
-                    self.q.put(collate(singles))
-
-        self.t = threading.Thread(target=produce, daemon=True)
-        self.t.start()
-
-    def __next__(self):
-        return self.q.get()
+    return pipelined_batches(
+        lambda j, s: ds.get_scene_batch(j, seed=s, device=False),
+        pairs(), batch_size, num_workers=num_workers, prefetch=prefetch,
+    )
 
 
 def main():
@@ -244,11 +229,14 @@ def main():
 
     loader = None
     if real_data:
-        from prosim_tpu.data.formatter import collate
-
+        # The warmup/compile batch MUST take the same host->device path as
+        # the timed-loop batches (slab collate + safe_device_put): a batch
+        # arriving with a different placement/committed-ness would miss the
+        # jit executable cache and hide a ~20 s recompile inside the timed
+        # loop (observed: 25 -> 13 scenes/s).
         staged = _real_batches(config, args.cache_dir, batch_size, 1)
-        singles, ds = staged[0]
-        batch = collate(singles)
+        _, ds = staged[0]
+        batch = next(_loader_in_loop(ds, batch_size, n_iters=1))
     else:
         from prosim_tpu.data.synthetic import make_synthetic_batch
 
@@ -319,9 +307,14 @@ def main():
 
     flops_per_iter, bytes_per_iter = _cost_analysis(*cost_args)
 
+    # Warm EVERY jit the timed loop touches: the per-iter fold_in is a tiny
+    # compile, but the remote compile service's latency is long-tailed
+    # (observed 1-20+ s) and would otherwise land inside iteration 0.
+    jax.block_until_ready(jax.random.fold_in(key, 0))
+
     loader_in_loop = real_data and not args.no_loader
     if loader_in_loop:
-        loader = _LoaderInLoop(ds, batch_size, args.iters)
+        loader = _loader_in_loop(ds, batch_size, args.iters)
         # let the prefetch queue fill so the measurement is steady-state
         # overlap, not a cold host pipeline
         time.sleep(2.0)

@@ -105,84 +105,49 @@ class ProSimImitationDataset:
 
     def batches(self, batch_size: int, shuffle: bool = False,
                 seed: int = 0, drop_last: bool = True,
-                num_workers: int = 0, prefetch: int = 2) -> Iterator[SceneBatch]:
+                num_workers: int = 0, prefetch: int = 2,
+                transfer="device") -> Iterator[SceneBatch]:
         """Stream collated device batches.
 
-        With num_workers > 0, scene formatting runs in a thread pool and up to
-        `prefetch` assembled batches are staged ahead of the consumer - the
+        With num_workers > 0, one pipeline thread formats + slab-collates +
+        transfers up to `prefetch` batches ahead of the consumer — the
         equivalent of the reference DataLoader's worker processes + prefetch
-        (reference: prosim/trainer.py:182-196 NUM_WORKERS wiring); the hot
-        formatting loops release the GIL (numpy / the native C++ lane engine),
-        so threads overlap cleanly with the device step.
+        (reference: prosim/trainer.py:182-196 NUM_WORKERS wiring), redesigned
+        for the TPU host: see `prosim_tpu/data/loader.py`. num_workers > 1
+        additionally fans per-scene formatting over an inner thread pool
+        (useful only on many-core hosts). `transfer` is applied to each host
+        batch inside the pipeline ("device" = device_put; pass e.g. a
+        mesh-sharded put for multi-chip training).
         """
+        from prosim_tpu.data.loader import SlabCollator, pipelined_batches
+
         order = np.arange(len(self.index))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
-        starts = range(
-            0, len(order) - (batch_size - 1 if drop_last else 0), batch_size
-        )
+        n_keep = len(order) - (len(order) % batch_size if drop_last else 0)
+        pairs = [(int(j), int(j)) for j in order[:n_keep]]
+
         if num_workers <= 0:
-            for i in starts:
-                idxs = order[i : i + batch_size]
-                yield collate(
-                    [self.get_scene_batch(int(j), device=False) for j in idxs])
+            from prosim_tpu.data.loader import safe_device_put
+
+            xfer = safe_device_put if transfer == "device" else transfer
+            collator = None
+            for i in range(0, len(pairs), batch_size):
+                singles = [self.get_scene_batch(j, seed=s, device=False)
+                           for j, s in pairs[i : i + batch_size]]
+                if len(singles) < batch_size:
+                    yield collate(singles)
+                    continue
+                if collator is None:
+                    collator = SlabCollator(singles[0], batch_size)
+                yield collator.collate(singles, xfer)
             return
 
-        import queue
-        import threading
-        from concurrent.futures import ThreadPoolExecutor
-
-        q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
-        sentinel = object()
-        stop = threading.Event()
-
-        def blocking_put(item) -> bool:
-            # Poll the stop flag so an abandoned consumer (trainer break /
-            # exception) doesn't leave this thread blocked on a full queue.
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.25)
-                    return True
-                except queue.Full:
-                    continue
-            return False
-
-        def produce():
-            try:
-                with ThreadPoolExecutor(num_workers) as ex:
-                    for i in starts:
-                        if stop.is_set():
-                            return
-                        idxs = order[i : i + batch_size]
-                        scenes = list(
-                            ex.map(lambda j: self.get_scene_batch(
-                                int(j), device=False), idxs)
-                        )
-                        if not blocking_put(collate(scenes)):
-                            return
-                blocking_put(sentinel)
-            except BaseException as e:  # propagate into the consumer
-                blocking_put(e)
-
-        t = threading.Thread(target=produce, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is sentinel:
-                    break
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
-        finally:
-            stop.set()
-            # Drain so a producer blocked mid-put can observe the flag fast.
-            try:
-                while True:
-                    q.get_nowait()
-            except queue.Empty:
-                pass
-            t.join(timeout=30.0)
+        yield from pipelined_batches(
+            lambda j, s: self.get_scene_batch(j, seed=s, device=False),
+            pairs, batch_size, transfer=transfer,
+            num_workers=num_workers, prefetch=prefetch,
+        )
 
 
 @registry.register_dataset(name="prosim")

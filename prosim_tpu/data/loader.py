@@ -1,0 +1,221 @@
+"""Slab-reusing pipelined host loader.
+
+The reference hides host-side batch preparation behind torch DataLoader
+worker *processes* (reference: prosim/trainer.py:182-196 NUM_WORKERS). On the
+TPU-host side the equivalent has different physics: scene formatting is
+numpy + the native C++ lane engine (GIL-light), device batches are large
+static-shape pytrees, and the binding cost is not CPU parallelism but memory
+churn — np-concatenate collation allocates and page-faults ~B x 4 MB of fresh
+pages per batch (~750 ms for B=64 on a single-core v5e host), dwarfing the
+actual row copies (~47 ms into preallocated slabs).
+
+So the design here is:
+  * `SlabCollator` — collate into a round-robin pool of preallocated slab
+    trees instead of concatenating into fresh arrays (16x cheaper, GC-free).
+  * `pipelined_batches` — ONE producer thread formats scenes, fills a slab,
+    and transfers it to the device, staying `prefetch` batches ahead of the
+    consumer. A single producer is deliberate: formatting overlaps the
+    consumer's device wait, and extra worker threads only add GIL contention
+    when the host has few cores (measured: on 1 core, a size-8 thread pool
+    runs 4x SLOWER than one thread). `num_workers > 1` still fans the
+    per-scene formatting out over an inner thread pool for many-core hosts.
+
+Slab-reuse safety: a slab's host buffer is rewritten `num_slabs` batches
+later. Yielded batches are device-resident (the producer applies `transfer`,
+by default a `jax.device_put` of the whole tree), so consumers may hold them
+indefinitely; the producer blocks on the previous transfer of a slab before
+overwriting its host buffer. With `transfer=None` the yielded trees are host
+VIEWS into the slabs, valid only until `num_slabs - 1` further batches have
+been produced.
+"""
+
+import queue
+import threading
+from typing import Callable, Iterable, List, Optional
+
+import numpy as np
+
+__all__ = ["SlabCollator", "pipelined_batches", "safe_device_put"]
+
+
+def safe_device_put(tree):
+    """device_put that never aliases the source host buffers.
+
+    Host->HBM transfers always copy, but XLA:CPU zero-copies aligned numpy
+    arrays — a yielded batch would then alias its slab and be corrupted by
+    the slab's next rewrite. On CPU targets (tests, the virtual-mesh dryrun)
+    copy host-side first; perf there doesn't matter."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        tree = jax.tree.map(
+            lambda x: np.array(x, copy=True) if isinstance(x, np.ndarray)
+            else x, tree)
+    return jax.device_put(tree)
+
+
+def _is_scene_leaf(x) -> bool:
+    """Per-scene leaves carry a leading singleton scene axis; everything else
+    (None, scalars, per-batch constants like io_pairs.t_indices) is shared
+    verbatim across the batch — the same rule as `formatter.collate`."""
+    return x is not None and getattr(x, "ndim", 0) >= 1 and x.shape[:1] == (1,)
+
+
+class SlabCollator:
+    """Collate single-scene batches into reusable preallocated slab trees."""
+
+    def __init__(self, probe, batch_size: int, num_slabs: int = 3):
+        import jax
+
+        self._jax = jax
+        self.batch_size = batch_size
+        self.num_slabs = max(2, num_slabs)
+        self.treedef = jax.tree.structure(probe)
+
+        def alloc(x):
+            if _is_scene_leaf(x):
+                return np.empty((batch_size,) + x.shape[1:], x.dtype)
+            return x  # shared constant (copied by reference, never written)
+
+        self.slabs = [jax.tree.map(alloc, probe) for _ in range(self.num_slabs)]
+        # Device trees produced from each slab, blocked on before the slab's
+        # host buffer is rewritten (an in-flight device_put reads that buffer).
+        self._in_flight: List[Optional[object]] = [None] * self.num_slabs
+        self._next = 0
+
+    def collate(self, singles: List, transfer: Optional[Callable] = None):
+        """Fill the next slab with `singles` and return it (via `transfer`).
+
+        Falls back to the allocating `formatter.collate` if the incoming
+        scenes don't match the probe's tree structure or shapes (static pads
+        make that the never-in-practice path)."""
+        jax = self._jax
+        if len(singles) != self.batch_size or (
+            jax.tree.structure(singles[0]) != self.treedef
+        ):
+            from prosim_tpu.data.formatter import collate
+
+            return collate(singles)
+
+        k = self._next
+        self._next = (self._next + 1) % self.num_slabs
+        if self._in_flight[k] is not None:
+            jax.block_until_ready(self._in_flight[k])
+            self._in_flight[k] = None
+
+        flat_slab = jax.tree.leaves(self.slabs[k])
+        flat_scenes = [jax.tree.leaves(s) for s in singles]
+        for j, slab_leaf in enumerate(flat_slab):
+            first = flat_scenes[0][j]
+            if not _is_scene_leaf(first):
+                continue
+            if first.shape[1:] != slab_leaf.shape[1:]:
+                from prosim_tpu.data.formatter import collate
+
+                self._next = k  # slab untouched; reuse it next call
+                return collate(singles)
+            for i, scene in enumerate(flat_scenes):
+                slab_leaf[i] = scene[j][0]
+
+        out = self.slabs[k]
+        if transfer is not None:
+            out = transfer(out)
+            self._in_flight[k] = out
+        return out
+
+
+def pipelined_batches(
+    get_scene: Callable[[int, int], object],
+    index_seed_pairs: Iterable,
+    batch_size: int,
+    transfer: Optional[Callable] = "device",
+    num_workers: int = 1,
+    prefetch: int = 2,
+    num_slabs: Optional[int] = None,
+):
+    """Yield collated batches produced by one background pipeline thread.
+
+    get_scene(idx, seed) -> single-scene host SceneBatch (device=False).
+    index_seed_pairs: iterable of (idx, seed); consumed in batch_size groups
+    (a trailing partial group is dropped, matching drop_last semantics).
+    transfer: callable applied to each host batch inside the producer
+    ("device" = jax.device_put of the whole tree; None = yield host views,
+    see module docstring for their lifetime).
+    """
+    import jax
+
+    if transfer == "device":
+        transfer = safe_device_put
+
+    if num_slabs is None:
+        num_slabs = prefetch + 2
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+    sentinel = object()
+    stop = threading.Event()
+
+    def blocking_put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.25)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def groups():
+        group = []
+        for pair in index_seed_pairs:
+            group.append(pair)
+            if len(group) == batch_size:
+                yield group
+                group = []
+
+    def produce():
+        collator = None
+        try:
+            pool = None
+            if num_workers > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                pool = ThreadPoolExecutor(num_workers)
+            try:
+                for group in groups():
+                    if stop.is_set():
+                        return
+                    if pool is not None:
+                        singles = list(
+                            pool.map(lambda p: get_scene(int(p[0]), int(p[1])),
+                                     group))
+                    else:
+                        singles = [get_scene(int(i), int(s)) for i, s in group]
+                    if collator is None:
+                        collator = SlabCollator(singles[0], batch_size,
+                                                num_slabs=num_slabs)
+                    if not blocking_put(collator.collate(singles, transfer)):
+                        return
+            finally:
+                if pool is not None:
+                    pool.shutdown(wait=False, cancel_futures=True)
+            blocking_put(sentinel)
+        except BaseException as e:  # propagate into the consumer
+            blocking_put(e)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join(timeout=30.0)
