@@ -164,6 +164,52 @@ def _loader_in_loop(ds, batch_size, n_iters, num_workers=1, prefetch=3):
     )
 
 
+def _host_stage_breakdown(ds, batch_size, config):
+    """Decompose steady-state host work per batch (ms): raw scene read,
+    format (cold + cached), condition sampling, slab collate, device
+    transfer. Run OUTSIDE the timed loop; recorded in the bench JSON so a
+    below-par capture names its own bottleneck (VERDICT r3 task 1)."""
+    from prosim_tpu.data.formatter import format_scene
+    from prosim_tpu.data.loader import SlabCollator, safe_device_put
+
+    import numpy as np
+
+    idxs = [i % len(ds) for i in range(batch_size)]
+    # warm every cache (scene, format, tag)
+    singles = [ds.get_scene_batch(j, seed=10_000 + i, device=False)
+               for i, j in enumerate(idxs)]
+    out = {}
+    t0 = time.perf_counter()
+    for j in idxs:
+        env, name, _ = ds.index[j]
+        ds._load(env, name)
+    out["raw_read"] = (time.perf_counter() - t0) * 1000
+
+    t0 = time.perf_counter()
+    for j in idxs[: max(1, batch_size // 4)]:  # cold format is slow; sample
+        env, name, ts = ds.index[j]
+        format_scene(ds._load(env, name), ds.config, ts, ds.split,
+                     np.random.default_rng(0))
+    out["format_cold"] = ((time.perf_counter() - t0) * 1000
+                          * batch_size / max(1, batch_size // 4))
+
+    t0 = time.perf_counter()
+    singles = [ds.get_scene_batch(j, seed=20_000 + i, device=False)
+               for i, j in enumerate(idxs)]
+    out["format_cached_plus_cond"] = (time.perf_counter() - t0) * 1000
+
+    collator = SlabCollator(singles[0], batch_size)
+    t0 = time.perf_counter()
+    host_batch = collator.collate(singles, transfer=None)
+    out["slab_collate"] = (time.perf_counter() - t0) * 1000
+
+    t0 = time.perf_counter()
+    dev = safe_device_put(host_batch)
+    jax.block_until_ready(dev)
+    out["device_transfer"] = (time.perf_counter() - t0) * 1000
+    return {k: round(v, 1) for k, v in out.items()}
+
+
 def main():
     import argparse
 
@@ -313,7 +359,18 @@ def main():
     jax.block_until_ready(jax.random.fold_in(key, 0))
 
     loader_in_loop = real_data and not args.no_loader
+    device_only = None
     if loader_in_loop:
+        # device-only companion: same compiled fn on the pre-staged batch, so
+        # the JSON separates device throughput from host-loader overhead
+        n_dev = max(4, args.iters // 2)
+        t0 = time.perf_counter()
+        st, o = state, None
+        for i in range(n_dev):
+            st, o = run_iter(st, batch, jax.random.fold_in(key, 1000 + i))
+        float(o)
+        device_only = round(scenes_per_iter * n_dev / (time.perf_counter() - t0), 3)
+
         loader = _loader_in_loop(ds, batch_size, args.iters)
         # let the prefetch queue fill so the measurement is steady-state
         # overlap, not a cold host pipeline
@@ -352,12 +409,28 @@ def main():
     }
     if args.mode == "wosac":
         result["replicas"] = args.replicas
+    if device_only is not None:
+        result["device_only_scenes_per_sec"] = device_only
+        result["host_ms_per_batch"] = _host_stage_breakdown(
+            ds, batch_size, config)
+    if "llm_text_OneText" in cond_types:
+        # disclose the text-encoder scale: WEIGHTS_PATH unset means the
+        # jitted text path runs LlamaConfig.tiny() random weights (8B
+        # weights are not present in this environment), not 8B-scale work
+        llm_cfg = config.MODEL.CONDITION_TRANSFORMER.CONDITION_ENCODER.TEXT.LLM
+        result["llm_arch"] = (
+            llm_cfg.ARCH if llm_cfg.ARCH != "auto"
+            else ("llama3_8b" if llm_cfg.WEIGHTS_PATH else "tiny"))
     if flops_per_iter:
         iters_per_sec = scenes_per_sec / scenes_per_iter
         result["tflops_per_scene"] = round(
             flops_per_iter / scenes_per_iter / 1e12, 4)
         result["mfu"] = round(flops_per_iter * iters_per_sec / peak, 4)
         result["assumed_peak_tflops"] = round(peak / 1e12, 1)
+        if result["mfu"] < 0.01:
+            # low MFU is expected at demo-model scale: HIDDEN_DIM=128
+            # gather/attention work is HBM- and VPU-bound, not MXU-bound
+            result["mfu_note"] = "demo-scale model is memory-bound, not MXU-bound"
     if bytes_per_iter:
         iters_per_sec = scenes_per_sec / scenes_per_iter
         result["hbm_gb_per_sec"] = round(bytes_per_iter * iters_per_sec / 1e9, 1)

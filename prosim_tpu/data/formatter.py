@@ -418,6 +418,11 @@ def format_scene(scene: SceneData, config, scene_ts: int, split: str = "train",
     if len(tgt) > config.DATASET.AGENT.SCENE_MAX_AGENT:
         if split.upper() == "TRAIN" and config.DATASET.AGENT.RANDOM_TRAIN_SAMPLE:
             tgt = rng.choice(tgt, config.DATASET.AGENT.SCENE_MAX_AGENT, replace=False)
+            if out_meta is not None:
+                # the ONLY rng draw in format_scene: when it doesn't fire, the
+                # whole output is a pure function of (scene, ts, split) and
+                # the dataset may cache it across seeds
+                out_meta["seed_dependent"] = True
         else:
             tgt = tgt[: config.DATASET.AGENT.SCENE_MAX_AGENT]
     tgt = tgt[:N_pad]

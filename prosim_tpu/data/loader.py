@@ -108,6 +108,28 @@ class SlabCollator:
         for j, slab_leaf in enumerate(flat_slab):
             first = flat_scenes[0][j]
             if not _is_scene_leaf(first):
+                # shared-constant leaf (e.g. t_indices): carried from the
+                # probe. Guard against it silently going stale if a future
+                # leaf ever varies per batch — cheap check vs this batch's
+                # first scene, falling back to the allocating path like the
+                # shape-mismatch branch.
+                if first is slab_leaf:
+                    same = True
+                elif isinstance(first, np.ndarray) or isinstance(
+                        slab_leaf, np.ndarray):
+                    same = (
+                        isinstance(first, np.ndarray)
+                        and isinstance(slab_leaf, np.ndarray)
+                        and first.shape == slab_leaf.shape
+                        and np.array_equal(first, slab_leaf)
+                    )
+                else:
+                    same = first == slab_leaf
+                if not same:
+                    from prosim_tpu.data.formatter import collate
+
+                    self._next = k
+                    return collate(singles)
                 continue
             if first.shape[1:] != slab_leaf.shape[1:]:
                 from prosim_tpu.data.formatter import collate
@@ -132,12 +154,14 @@ def pipelined_batches(
     num_workers: int = 1,
     prefetch: int = 2,
     num_slabs: Optional[int] = None,
+    drop_last: bool = False,
 ):
     """Yield collated batches produced by one background pipeline thread.
 
     get_scene(idx, seed) -> single-scene host SceneBatch (device=False).
-    index_seed_pairs: iterable of (idx, seed); consumed in batch_size groups
-    (a trailing partial group is dropped, matching drop_last semantics).
+    index_seed_pairs: iterable of (idx, seed); consumed in batch_size groups.
+    A trailing partial group is yielded through the allocating
+    formatter.collate fallback (smaller leading dim) unless drop_last=True.
     transfer: callable applied to each host batch inside the producer
     ("device" = jax.device_put of the whole tree; None = yield host views,
     see module docstring for their lifetime).
@@ -170,6 +194,8 @@ def pipelined_batches(
             if len(group) == batch_size:
                 yield group
                 group = []
+        if group and not drop_last:
+            yield group  # partial: SlabCollator routes it to formatter.collate
 
     def produce():
         collator = None

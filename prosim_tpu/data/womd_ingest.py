@@ -309,12 +309,16 @@ def ingest_scenario(scenario, cache_dir: str, env_name: str, scene_idx: int,
     cols = {k: [] for k in ("agent_id", "scene_ts", "x", "y", "z", "vx", "vy",
                             "ax", "ay", "heading", "length", "width", "height")}
     agents_meta = []
+    sdc_idx = int(scenario.sdc_track_index)
     for i in order:
         track = scenario.tracks[i]
         v = np.flatnonzero(tr["valid"][i])
         if len(v) == 0:
             continue
-        name = str(track.id)
+        # trajdata names the SDC track 'ego' (the bundled demo cache does
+        # too); trajdata_cache.load_scene keys its ego-first reordering and
+        # ego_index lookup on that name, so match it exactly
+        name = "ego" if i == sdc_idx else str(track.id)
         cols["agent_id"].extend([name] * len(v))
         cols["scene_ts"].extend(int(t) for t in v)
         cols["x"].extend(tr["xyz"][i, v, 0])

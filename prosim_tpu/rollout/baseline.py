@@ -20,14 +20,39 @@ def constant_velocity_rollout(
     horizon: int = 80,
     m: int = 32,
     dt: float = 0.1,
+    noise_scale: float = 0.01,
+    seed: int = 0,
 ) -> np.ndarray:
-    """Returns [M, N, horizon, 3] world-frame (x, y, heading)."""
+    """Returns [M, N, horizon, 3] world-frame (x, y, heading).
+
+    Matches the official linear-extrapolation baseline the reference vendors
+    (reference: prosim/rollout/baseline.py:96-116): every replica integrates
+    the agent's current velocity PLUS i.i.d. per-step action noise of std
+    `noise_scale * max_action` (signed max of per-step displacement over
+    agents, the official quirk), so the M rollouts diverge as a random walk.
+    Without the noise all M replicas are identical, the per-object WOSAC
+    histograms collapse to deltas, and every logged sample more than one bin
+    from the delta scores the smoothing-floor likelihood - the baseline would
+    under-read by ~2x (official ConstVel kinematic 0.225). noise_scale=0
+    recovers the deterministic extrapolation."""
     rows = np.asarray(agent_rows)
     st = np.nan_to_num(scene.states[rows, scene_ts])  # [N, 8]
-    steps = np.arange(1, horizon + 1)[None, :, None] * dt  # [1, T, 1]
     vel = st[:, None, [VX, VY]]
-    xy = st[:, None, [X, Y]] + vel * steps
     h = np.broadcast_to(st[:, None, H], (len(rows), horizon))
+
+    if noise_scale > 0.0 and m > 1:
+        rng = np.random.default_rng(seed)
+        disp = vel[:, 0] * dt                              # [N, 2] per-step
+        max_action = disp.max(axis=0)                      # signed max, [2]
+        noise = rng.normal(0.0, noise_scale, (m, len(rows), horizon, 2))
+        step_disp = disp[None, :, None, :] + noise * max_action
+        xy = st[None, :, None, [X, Y]] + np.cumsum(step_disp, axis=2)
+        traj = np.concatenate(
+            [xy, np.broadcast_to(h[None, ..., None], (m, *h.shape, 1))], -1)
+        return traj.astype(np.float64)
+
+    steps = np.arange(1, horizon + 1)[None, :, None] * dt  # [1, T, 1]
+    xy = st[:, None, [X, Y]] + vel * steps
     traj = np.concatenate([xy, h[..., None]], axis=-1)  # [N, T, 3]
     return np.broadcast_to(traj[None], (m, *traj.shape)).copy()
 
@@ -51,7 +76,7 @@ def run_constant_velocity_eval(config, cache_dir: Optional[str] = None,
         format_scene(scene, config, ts, "rollout", out_meta=meta)
         name_to_row = {nm: i for i, nm in enumerate(scene.agent_names)}
         rows = [name_to_row[nm] for nm in meta["target_names"]]
-        sim = constant_velocity_rollout(scene, ts, rows, horizon, m)
+        sim = constant_velocity_rollout(scene, ts, rows, horizon, m, seed=idx)
         fut = scene.states[rows, ts + 1 : ts + 1 + horizon]
         log_xyh = np.stack(
             [np.nan_to_num(fut[..., X]), np.nan_to_num(fut[..., Y]),

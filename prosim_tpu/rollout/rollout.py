@@ -233,9 +233,10 @@ def parallel_rollout_with_sampler(model, params, batch: SceneBatch, m: int, rng,
         num_map=scene.num_map,
     )
     batch_m = tile_batch_for_replicas(batch, m)
-    conds = dict(batch_m.conditions)
-    conds["goal"] = goal_cond
-    batch_m = batch_m.replace(conditions=conds)
+    # the sampled goals REPLACE the dataset conditions wholesale (reference:
+    # gpu_utils.py:175 sets all_cond = {'goal': goal_cond_M}) - the WOSAC
+    # protocol evaluates unprompted realism, so no other condition rides along
+    batch_m = batch_m.replace(conditions={"goal": goal_cond})
 
     policy_emd, aux = model.generate_policy(
         params, batch_m, scene_m, _tile(prompt_emb, m)

@@ -17,7 +17,8 @@ import numpy as np
 
 from prosim_tpu.data.dataset import ProSimImitationDataset
 from prosim_tpu.models.prosim import ProSim
-from prosim_tpu.rollout.rollout import parallel_rollout, rollout_to_world
+from prosim_tpu.rollout.rollout import (
+    parallel_rollout, parallel_rollout_with_sampler, rollout_to_world)
 from prosim_tpu.rollout.wosac import (
     ScenarioRollouts,
     joint_scenes_from_rollout,
@@ -40,9 +41,23 @@ def run_rollout_eval(
     compute_metrics: bool = True,
     skip_existing: bool = False,
     max_failures: Optional[int] = None,
+    goal_sampler: str = "auto",
+    sampler_params=None,
+    sampler_top_k: int = 3,
+    stop_smooth: float = 5.0,
 ):
     """Roll out M joint futures for every assigned scene and save world-frame
-    trajectories (npz per scene; see wosac.package_submission)."""
+    trajectories (npz per scene; see wosac.package_submission).
+
+    goal_sampler: 'auto' | 'on' | 'off'. The reference's WOSAC protocol gives
+    the M replicas behavioral diversity by sampling each replica's goal
+    condition from a goal-predictor's top-K heads (gpu_utils.py:179-216,
+    top_K=3, smooth_dist=5.0); without it every replica is the argmax rollout,
+    the per-object feature histograms are deltas, and the kinematic
+    likelihoods sit on the smoothing floor. 'auto' uses the sampler whenever
+    m > 1 and the model has goal heads (DECODER.GOAL_PRED.ENABLE), with the
+    eval params doubling as the sampler (pass sampler_params for a separate
+    sampler checkpoint like the reference's)."""
     m = m or config.ROLLOUT.SAMPLE_NUM
     out_dir = out_dir or os.path.join(
         config.EXPERIMENT_DIR, config.EXPERIMENT_NAME, "rollouts"
@@ -56,10 +71,23 @@ def run_rollout_eval(
     if params is None:
         params = model.init(rng, ds.get_scene_batch(0))
 
-    roll = jax.jit(
-        lambda p, b, k: parallel_rollout(model, p, b, m, k),
-        static_argnames=(),
-    )
+    has_goal_heads = bool(config.MODEL.DECODER.GOAL_PRED.ENABLE)
+    use_sampler = (goal_sampler == "on"
+                   or (goal_sampler == "auto" and m > 1 and has_goal_heads))
+    if goal_sampler == "on" and not has_goal_heads:
+        raise ValueError("goal_sampler='on' requires DECODER.GOAL_PRED.ENABLE")
+    if use_sampler:
+        s_params = sampler_params if sampler_params is not None else params
+        roll = jax.jit(
+            lambda p, b, k: parallel_rollout_with_sampler(
+                model, p, b, m, k, model, s_params,
+                top_k=sampler_top_k, stop_smooth=stop_smooth),
+        )
+    else:
+        roll = jax.jit(
+            lambda p, b, k: parallel_rollout(model, p, b, m, k),
+            static_argnames=(),
+        )
 
     assigned = list(range(worker_id, len(ds), num_workers))
     if max_scenes:

@@ -88,11 +88,23 @@ def test_pipelined_matches_sequential(ds):
         tree_equal(w, h)
 
 
-def test_pipelined_drops_trailing_partial_group(ds):
-    pairs = [(i % len(ds), i) for i in range(7)]  # 7 scenes, batch 4
+def test_pipelined_yields_trailing_partial_group(ds):
+    # 7 scenes, batch 4: one full slab batch + one partial batch of 3
+    # (routed through the allocating formatter.collate fallback)
+    pairs = [(i % len(ds), i) for i in range(7)]
     out = list(pipelined_batches(
         lambda j, s: ds.get_scene_batch(j, seed=s, device=False),
         pairs, batch_size=4))
+    assert len(out) == 2
+    assert out[0].prompt.mask.shape[0] == 4
+    assert out[1].prompt.mask.shape[0] == 3
+
+
+def test_pipelined_drop_last_drops_partial(ds):
+    pairs = [(i % len(ds), i) for i in range(7)]
+    out = list(pipelined_batches(
+        lambda j, s: ds.get_scene_batch(j, seed=s, device=False),
+        pairs, batch_size=4, drop_last=True))
     assert len(out) == 1
 
 
@@ -124,3 +136,18 @@ def test_dataset_batches_paths_agree(ds):
     assert len(a) == len(b) == 4
     for w, h in zip(a, b):
         tree_equal(w, h)
+
+
+def test_format_cache_bit_identical(ds):
+    """The per-scene formatted-base cache must be invisible: a fresh dataset
+    (cold cache) and one with the cache disabled produce bit-identical
+    batches for the same (idx, seed), including sampled conditions."""
+    cfg = get_config(opts=SMALL)
+    warm = ProSimImitationDataset(cfg, split="val", cache_dir=CACHE)
+    cold = ProSimImitationDataset(cfg, split="val", cache_dir=CACHE)
+    cold._fmt_cache_cap = 0  # never caches
+    for idx, seed in [(0, 5), (0, 6), (1, 5), (0, 5)]:
+        a = warm.get_scene_batch(idx, seed=seed, device=False)
+        b = cold.get_scene_batch(idx, seed=seed, device=False)
+        tree_equal(a, b)
+    assert len(warm._fmt_cache) == 2 and not cold._fmt_cache

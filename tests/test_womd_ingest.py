@@ -158,14 +158,15 @@ def test_scene_roundtrip_exact(ingested):
     _, cache, truth, _ = ingested
     scene = load_scene(cache, "waymo_ingest", "scene_0")
     assert scene.length == T
-    # SDC (track 202) must be agent 0 per the scene-centric convention
-    assert scene.agent_names[0] == "202"
-    assert set(scene.agent_names) == {"101", "202", "303"}
+    # SDC (track 202) must be agent 0 AND named 'ego' — the trajdata
+    # convention the rest of the loader (ego-first reorder, ego_index) keys on
+    assert scene.agent_names[0] == "ego"
+    assert set(scene.agent_names) == {"101", "ego", "303"}
     assert scene.agent_types[scene.agent_names.index("303")] == 2
 
-    for name in ("101", "202", "303"):
+    for name in ("101", "ego", "303"):
         i = scene.agent_names.index(name)
-        tr = truth[name]
+        tr = truth["202" if name == "ego" else name]
         np.testing.assert_array_equal(scene.valid[i], tr["valid"])
         v = tr["valid"]
         np.testing.assert_allclose(scene.states[i, v, :2], tr["xy"][v],
