@@ -170,7 +170,8 @@ def _host_stage_breakdown(ds, batch_size, config):
     transfer. Run OUTSIDE the timed loop; recorded in the bench JSON so a
     below-par capture names its own bottleneck (VERDICT r3 task 1)."""
     from prosim_tpu.data.formatter import format_scene
-    from prosim_tpu.data.loader import SlabCollator, safe_device_put
+    from prosim_tpu.data.loader import (PackedTransfer, SlabCollator,
+                                        safe_device_put)
 
     import numpy as np
 
@@ -206,7 +207,16 @@ def _host_stage_breakdown(ds, batch_size, config):
     t0 = time.perf_counter()
     dev = safe_device_put(host_batch)
     jax.block_until_ready(dev)
-    out["device_transfer"] = (time.perf_counter() - t0) * 1000
+    out["device_transfer_tree"] = (time.perf_counter() - t0) * 1000
+
+    # the loop's real path: pack into one buffer, one RPC, on-device unpack
+    pt = PackedTransfer(host_batch)
+    dev = pt(host_batch)  # build + compile unpack
+    jax.block_until_ready(jax.tree.leaves(dev)[0])
+    t0 = time.perf_counter()
+    dev = pt(host_batch)
+    jax.block_until_ready(jax.tree.leaves(dev)[0])
+    out["device_transfer_packed"] = (time.perf_counter() - t0) * 1000
     return {k: round(v, 1) for k, v in out.items()}
 
 
@@ -239,6 +249,9 @@ def main():
     ap.add_argument("--no-loader", action="store_true",
                     help="reuse pre-staged device batches instead of running "
                          "the host loader inside the timed loop")
+    ap.add_argument("--no-scene-bank", action="store_true",
+                    help="force the streaming loader instead of the "
+                         "HBM-resident scene bank (data/scene_bank.py)")
     ap.add_argument("--cache-dir", default=DEMO_CACHE)
     ap.add_argument("--opts", nargs="*", default=[],
                     help="extra config KEY VALUE overrides")
@@ -274,15 +287,44 @@ def main():
     model = ProSim(config, dtype=dtype)
 
     loader = None
+    bank = None
+    bank_info = None
     if real_data:
         # The warmup/compile batch MUST take the same host->device path as
-        # the timed-loop batches (slab collate + safe_device_put): a batch
-        # arriving with a different placement/committed-ness would miss the
-        # jit executable cache and hide a ~20 s recompile inside the timed
-        # loop (observed: 25 -> 13 scenes/s).
+        # the timed-loop batches: a batch arriving with a different
+        # placement/committed-ness would miss the jit executable cache and
+        # hide a ~20 s recompile inside the timed loop (observed: 25 -> 13
+        # scenes/s). So build the scene bank (the default transport) first
+        # and warm up through it.
         staged = _real_batches(config, args.cache_dir, batch_size, 1)
         _, ds = staged[0]
-        batch = next(_loader_in_loop(ds, batch_size, n_iters=1))
+        if not args.no_loader and not args.no_scene_bank:
+            # HBM-resident scene bank: scene tensors ship once, per-iter
+            # host->device traffic is the sampled conditions only (measured
+            # tunnel: ~29 MB/s, a full 0.26 GB batch = ~9 s of wire vs
+            # ~2.5 s device compute) — see data/scene_bank.py
+            try:
+                from prosim_tpu.data.scene_bank import (DeviceSceneBank,
+                                                        banked_batches)
+
+                t0 = time.perf_counter()
+                bank = DeviceSceneBank(ds)
+                bank_info = {
+                    "scene_bank": True,
+                    "bank_scenes": len(bank.keys),
+                    "bank_mb": round(
+                        bank.per_scene_bytes * len(bank.keys) / 1e6, 1),
+                    "bank_build_s": round(time.perf_counter() - t0, 1),
+                }
+            except ValueError as e:
+                print(f"bench: scene bank unavailable ({e}); streaming",
+                      file=sys.stderr, flush=True)
+        if bank is not None:
+            batch = next(banked_batches(
+                ds, [(i % len(ds), i) for i in range(batch_size)],
+                batch_size, bank=bank))
+        else:
+            batch = next(_loader_in_loop(ds, batch_size, n_iters=1))
     else:
         from prosim_tpu.data.synthetic import make_synthetic_batch
 
@@ -360,6 +402,7 @@ def main():
 
     loader_in_loop = real_data and not args.no_loader
     device_only = None
+    bank_info = None
     if loader_in_loop:
         # device-only companion: same compiled fn on the pre-staged batch, so
         # the JSON separates device throughput from host-loader overhead
@@ -371,7 +414,17 @@ def main():
         float(o)
         device_only = round(scenes_per_iter * n_dev / (time.perf_counter() - t0), 3)
 
-        loader = _loader_in_loop(ds, batch_size, args.iters)
+        def pairs():
+            for n in range(args.iters * batch_size):
+                yield n % len(ds), n
+
+        if bank is not None:
+            from prosim_tpu.data.scene_bank import banked_batches
+
+            loader = banked_batches(ds, pairs(), batch_size, bank=bank)
+        else:
+            bank_info = {"scene_bank": False}
+            loader = _loader_in_loop(ds, batch_size, args.iters)
         # let the prefetch queue fill so the measurement is steady-state
         # overlap, not a cold host pipeline
         time.sleep(2.0)
@@ -411,6 +464,8 @@ def main():
         result["replicas"] = args.replicas
     if device_only is not None:
         result["device_only_scenes_per_sec"] = device_only
+        if bank_info:
+            result.update(bank_info)
         result["host_ms_per_batch"] = _host_stage_breakdown(
             ds, batch_size, config)
     if "llm_text_OneText" in cond_types:

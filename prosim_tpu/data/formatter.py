@@ -634,6 +634,24 @@ def format_scene(scene: SceneData, config, scene_ts: int, split: str = "train",
     )
 
 
+def collate_conditions(cond_dicts: List[dict]) -> dict:
+    """Stack per-scene condition dicts (each leaf [1, ...]) into one HOST
+    batch subtree (numpy, dim 0) — the scene-bank loader ships only this.
+    All scenes must carry the same condition types (fix-mode sampling does;
+    jax.tree.map raises on structure mismatch otherwise)."""
+    import jax
+
+    def cat(*xs):
+        if xs[0] is None:
+            return None
+        x0 = np.asarray(xs[0])
+        if x0.ndim >= 1 and x0.shape[:1] == (1,):
+            return np.concatenate([np.asarray(x) for x in xs], axis=0)
+        return x0  # shared constant
+
+    return jax.tree.map(cat, *cond_dicts)
+
+
 def collate(batches: List[SceneBatch]) -> SceneBatch:
     """Stack single-scene batches into one device batch (dim 0)."""
     import jax

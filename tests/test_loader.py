@@ -151,3 +151,44 @@ def test_format_cache_bit_identical(ds):
         b = cold.get_scene_batch(idx, seed=seed, device=False)
         tree_equal(a, b)
     assert len(warm._fmt_cache) == 2 and not cold._fmt_cache
+
+
+def test_packed_transfer_matches_device_put(ds):
+    """PackedTransfer (single-buffer ship + on-device unpack) must be
+    value- and dtype-identical to plain device_put, fall back on
+    shape-mismatched trees, and stay correct across buffer reuse."""
+    from prosim_tpu.data.loader import PackedTransfer
+
+    singles = [ds.get_scene_batch(i, seed=i, device=False) for i in range(4)]
+    col = SlabCollator(singles[0], 4)
+    host = col.collate(singles, transfer=None)
+    pt = PackedTransfer(host, num_bufs=2)
+
+    ref = jax.tree.map(np.asarray, safe_device_put(host))
+    # 3 calls > num_bufs exercises in-flight blocking + buffer reuse
+    for seed0 in (10, 20, 30):
+        singles = [ds.get_scene_batch(i, seed=seed0 + i, device=False)
+                   for i in range(4)]
+        host = col.collate(singles, transfer=None)
+        ref = jax.tree.map(
+            lambda x: np.asarray(x) if hasattr(x, "shape") else x, host)
+        out = pt(host)
+        got = jax.tree.map(
+            lambda x: np.asarray(x) if hasattr(x, "shape") else x, out)
+        la, lb = jax.tree.leaves(ref), jax.tree.leaves(got)
+        assert len(la) == len(lb)
+        for x, y in zip(la, lb):
+            xx = np.asarray(x)
+            if xx.dtype == np.int64:
+                xx = xx.astype(np.int32)
+            if xx.dtype == np.float64:
+                xx = xx.astype(np.float32)
+            np.testing.assert_array_equal(xx, np.asarray(y))
+
+    # partial batch (3 scenes) -> structure matches but shapes differ ->
+    # fallback path, still correct
+    part = collate(singles[:3])
+    out = pt(part)
+    tree_equal(jax.tree.map(
+        lambda x: np.asarray(x).astype(np.int32)
+        if np.asarray(x).dtype == np.int64 else x, part), out)
