@@ -192,13 +192,20 @@ class ProSim:
         init_pos = jnp.take_along_axis(obs.pos, safe_idx[..., None], axis=1)
         init_heading = jnp.take_along_axis(obs.ori[..., None], safe_idx[..., None], axis=1)[..., 0]
 
-        traj = jnp.zeros((B, N, total_steps, 4), self.dtype)
-        traj = traj.at[:, :, : self.hist_steps].set(hist.astype(self.dtype))
-        vel = jnp.zeros((B, N, total_steps, 2), self.dtype)
+        # The integrated state stays float32 regardless of MODEL.DTYPE:
+        # network compute is bf16 for the MXU, but positions accumulate over
+        # 80+ steps and local coordinates reach ~100 m, where bf16's 8-bit
+        # mantissa quantizes at ~0.5 m. Central-differenced WOSAC kinematics
+        # turn that into +-2.5 m/s speed noise (measured: linear_speed
+        # likelihood 0.32 -> 0.15, linear_accel 0.32 -> 0.09 on a log-replay
+        # oracle). Inputs are cast to self.dtype at each network boundary.
+        traj = jnp.zeros((B, N, total_steps, 4), jnp.float32)
+        traj = traj.at[:, :, : self.hist_steps].set(hist.astype(jnp.float32))
+        vel = jnp.zeros((B, N, total_steps, 2), jnp.float32)
         if self.pred_vel:
             hv = jnp.take_along_axis(obs.feat[..., 4:6], safe_idx[..., None, None], axis=1)
             vel = vel.at[:, :, : self.hist_steps].set(
-                jnp.nan_to_num(hv).astype(self.dtype))
+                jnp.nan_to_num(hv).astype(jnp.float32))
         return traj, vel, init_pos, init_heading
 
     # ---------------------------------------------------------------- select
@@ -396,8 +403,8 @@ class ProSim:
                 {"params": params["policy"]},
                 policy_emd,
                 scene_r,
-                pos_now,
-                theta_now,
+                pos_now.astype(self.dtype),
+                theta_now.astype(self.dtype),
                 prompt.mask,
                 prompt.agent_type,
                 deterministic,
@@ -425,6 +432,7 @@ class ProSim:
             if not self.bptt:
                 chunk = jax.lax.stop_gradient(chunk)
 
+            chunk = chunk.astype(jnp.float32)  # integrate state in f32
             last = jax.lax.dynamic_index_in_dim(traj, cursor - 1, axis=2, keepdims=False)
             last_theta = jnp.arctan2(last[..., 2], last[..., 3])  # [B, N]
             xy = rotate_2d(chunk[..., :2], last_theta[..., None]) + last[..., None, :2]

@@ -75,6 +75,13 @@ def main():
         "DATASET.SOURCE.TRAIN", "['waymo_train']",
         "DATASET.SOURCE.VAL", "['waymo_train']",
         "DATASET.SOURCE.ROLLOUT", "['waymo_train']",
+        # goal heads + their K-way distribution loss: the WOSAC eval's replica
+        # diversity comes from sampling each replica's goal condition from
+        # these heads (rollout/runner.py goal_sampler='auto'; reference
+        # protocol gpu_utils.py:179-216). Without them all M replicas are the
+        # argmax rollout and every histogram feature collapses to a delta.
+        "MODEL.DECODER.GOAL_PRED.ENABLE", "True",
+        "LOSS.GOAL_DIST_PRED.ENABLE", "True",
         *cond_opts,
         "TRAIN.LR", str(args.lr),
         "TRAIN.BATCH_SIZE", str(args.batch),
