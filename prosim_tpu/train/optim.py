@@ -37,6 +37,13 @@ def _group_of(path: str, config) -> str:
         return "lora"
     if "prompt_to_llm" in path or "llm_to_cond" in path or "ln_prompt" in path:
         return "adapter"
+    if "/llm/" in path or path.endswith("/llm") or path.startswith("llm/"):
+        # the Llama BODY: frozen, trained only through its LoRA leaves — the
+        # reference excludes it from every param group via requires_grad=False
+        # (reference: base.py:94 named_parameters filter) and
+        # Trainer._strip_frozen_llm drops it from checkpoints on the same
+        # assumption
+        return "llm_frozen"
     if "pred_mlp" in path or "goal_prob_head" in path or "goal_point_head" in path:
         return "goal_pred"
     if "condition_transformer" in path:
@@ -96,6 +103,7 @@ def build_optimizer(config, params) -> optax.GradientTransformation:
     for group in ("model", "lora", "adapter", "goal_pred", "cond"):
         lr = (model_lr if group == "model" else base_lr * GROUP_SCALE_KEYS[group](config))
         transforms[group] = mk_opt(lr)
+    transforms["llm_frozen"] = optax.set_to_zero()
 
     opt = optax.multi_transform(transforms, label_fn)
     if config.TRAIN.GRAD_CLIP and config.TRAIN.GRAD_CLIP > 0:

@@ -206,13 +206,26 @@ class Trainer:
         a per-scene GPU loop."""
         from prosim_tpu.rollout.rollout import (
             parallel_rollout,
+            parallel_rollout_with_sampler,
             replica_rollout_metrics,
         )
 
         m = m or self.config.ROLLOUT.SAMPLE_NUM
         if self._rollout_fn is None or self._rollout_m != m:
+            # replica diversity as in the WOSAC farm (rollout/runner.py):
+            # with goal heads trained, each replica rolls out under its own
+            # sampled top-K goal condition; without them all M replicas are
+            # the argmax rollout and min_ade == mean_ade exactly
+            use_sampler = (m > 1
+                           and self.config.MODEL.DECODER.GOAL_PRED.ENABLE)
+
             def _roll(params, batch, key):
-                out = parallel_rollout(self.model, params, batch, m, key)
+                if use_sampler:
+                    out = parallel_rollout_with_sampler(
+                        self.model, params, batch, m, key,
+                        self.model, params, top_k=3)
+                else:
+                    out = parallel_rollout(self.model, params, batch, m, key)
                 return replica_rollout_metrics(out, batch, m)
 
             self._rollout_fn = jax.jit(_roll)

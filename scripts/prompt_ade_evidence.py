@@ -74,6 +74,10 @@ def main():
         "DATASET.SOURCE.ROLLOUT", "['waymo_train']",
         "PROMPT.CONDITION.TYPES", types,
         "MODEL.DTYPE", "bfloat16",
+        # evidence checkpoints train goal heads (WOSAC replica diversity);
+        # mirror them so the restored param surface matches training
+        "MODEL.DECODER.GOAL_PRED.ENABLE", "True",
+        "LOSS.GOAL_DIST_PRED.ENABLE", "True",
     ])
     params, model, _ = restore_eval_params(config, ckpt, args.cache_dir)
 

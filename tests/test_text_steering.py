@@ -107,6 +107,8 @@ def test_gradient_reaches_text_attn(setup):
             if isinstance(v, dict):
                 out.update(norms(v, prefix + k + "/"))
             else:
+                if hasattr(v, "value"):  # flax Partitioned sharding box
+                    v = v.value
                 out[prefix + k] = float(jnp.linalg.norm(v))
         return out
 
@@ -117,13 +119,43 @@ def test_gradient_reaches_text_attn(setup):
     assert p2l and max(p2l.values()) > 0, f"prompt_to_llm grad dead: {p2l}"
     assert l2c and max(l2c.values()) > 0, f"llm_to_cond grad dead: {l2c}"
     assert lora and max(lora.values()) > 0, f"LoRA grads dead: {lora}"
-    # frozen LLM body must NOT receive gradient (trained via LoRA only)
-    body = {k: v for k, v in n.items()
-            if k.startswith("llm/") and "lora" not in k.lower()}
-    if body:
-        assert max(body.values()) == 0, (
-            f"frozen body received gradient: "
-            f"{ {k: v for k, v in body.items() if v > 0} }")
+
+    # the optimizer must FREEZE the LLM body (reference excludes it from all
+    # param groups via requires_grad=False, base.py:94) while moving LoRA +
+    # adapter leaves — checked at the UPDATE level, raw grads are nonzero
+    from prosim_tpu.train.optim import build_optimizer
+
+    import optax
+
+    opt = build_optimizer(config, params)
+    # two updates: the warmup schedule's LR at count 0 is exactly 0 (linear
+    # ramp), so a single step moves nothing and would pass the frozen-body
+    # check vacuously
+    state = opt.init(params)
+    updates, state = opt.update(g, state, params)
+    new_params = optax.apply_updates(params, updates)
+    updates, state = opt.update(g, state, new_params)
+    new_params = optax.apply_updates(new_params, updates)
+    _, old_t = _text_subtree(params)
+    _, new_t = _text_subtree(new_params)
+
+    def flat(tree, prefix=""):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.update(flat(v, prefix + k + "/"))
+            else:
+                out[prefix + k] = v.value if hasattr(v, "value") else v
+        return out
+
+    fo, fn = flat(old_t), flat(new_t)
+    body_moved = [k for k in fo
+                  if k.startswith("llm/") and "lora" not in k.lower()
+                  and not np.array_equal(np.asarray(fo[k]), np.asarray(fn[k]))]
+    assert not body_moved, f"frozen LLM body moved: {body_moved[:5]}"
+    lora_moved = [k for k in fo if "lora_b" in k
+                  and not np.array_equal(np.asarray(fo[k]), np.asarray(fn[k]))]
+    assert lora_moved, "no LoRA leaf moved under the optimizer"
 
 
 def test_addressed_agents_drive_the_residual(setup):
