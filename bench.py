@@ -220,6 +220,40 @@ def _host_stage_breakdown(ds, batch_size, config):
     return {k: round(v, 1) for k, v in out.items()}
 
 
+def _bank_stage_breakdown(bank, ds, batch_size):
+    """Per-batch host work on the BANKED transport — the path the timed loop
+    actually runs when the scene bank is up (r4's breakdown measured the
+    streaming path regardless; VERDICT r4 weak #5). Stages: condition
+    sampling, condition collation, condition host->device transfer (via the
+    transport the loop used), and full on-device assembly."""
+    import numpy as np
+
+    from prosim_tpu.data.formatter import collate_conditions
+
+    pairs = [(i % len(ds), 55_000 + i) for i in range(batch_size)]
+    [bank.sample_conditions(i, s) for i, s in pairs]  # warm caches
+    out = {}
+    t0 = time.perf_counter()
+    rows_conds = [bank.sample_conditions(i, s) for i, s in pairs]
+    out["cond_sample"] = (time.perf_counter() - t0) * 1000
+    rows = np.asarray([r for r, _ in rows_conds])
+    conds = [c for _, c in rows_conds]
+    if conds[0] is not None:
+        t0 = time.perf_counter()
+        conds_host = collate_conditions(conds)
+        out["cond_collate"] = (time.perf_counter() - t0) * 1000
+        bank._ship_conditions(conds_host)  # warm (compile)
+        t0 = time.perf_counter()
+        dev = bank._ship_conditions(conds_host)
+        jax.block_until_ready(jax.tree.leaves(dev))
+        out["cond_transfer"] = (time.perf_counter() - t0) * 1000
+    t0 = time.perf_counter()
+    b = bank.assemble(rows, conds if conds[0] is not None else None)
+    jax.block_until_ready(jax.tree.leaves(b))
+    out["assemble_total"] = (time.perf_counter() - t0) * 1000
+    return {k: round(v, 1) for k, v in out.items()}
+
+
 def main():
     import argparse
 
@@ -320,6 +354,20 @@ def main():
                 print(f"bench: scene bank unavailable ({e}); streaming",
                       file=sys.stderr, flush=True)
         if bank is not None:
+            if ds.cond_gen.types:
+                # The transport's relative cost varies with tunnel weather
+                # (r4: packed measured SLOWER than per-leaf in one capture,
+                # 8-10x FASTER in another) — so measure both here, use the
+                # winner in the timed loop, and record both numbers so the
+                # capture adjudicates itself.
+                from prosim_tpu.data.formatter import collate_conditions
+
+                conds = [bank.sample_conditions(i % len(ds), 77_000 + i)[1]
+                         for i in range(batch_size)]
+                ct = bank.measure_cond_transport(collate_conditions(conds))
+                bank.cond_transport = min(ct, key=ct.get)
+                bank_info["cond_transfer_ms"] = ct
+                bank_info["cond_transport"] = bank.cond_transport
             batch = next(banked_batches(
                 ds, [(i % len(ds), i) for i in range(batch_size)],
                 batch_size, bank=bank))
@@ -402,7 +450,6 @@ def main():
 
     loader_in_loop = real_data and not args.no_loader
     device_only = None
-    bank_info = None
     if loader_in_loop:
         # device-only companion: same compiled fn on the pre-staged batch, so
         # the JSON separates device throughput from host-loader overhead
@@ -431,13 +478,34 @@ def main():
 
     t0 = time.perf_counter()
     out = None
+    iter_s = []  # host-side pacing per iteration (loader next + dispatch)
     for i in range(args.iters):
+        ti = time.perf_counter()
         b = next(loader) if loader_in_loop else batch
         state, out = run_iter(state, b, jax.random.fold_in(key, i))
+        iter_s.append(time.perf_counter() - ti)
+    t_drain = time.perf_counter()
     float(out)  # forced fetch: waits for every queued iteration
     dt = time.perf_counter() - t0
 
     scenes_per_sec = scenes_per_iter * args.iters / dt
+
+    # Worst-case self-diagnosis (VERDICT r4 task 1d): if any iteration took
+    # >5x the device-only time, the capture is host/transport-bound — print
+    # per-iteration timings so a bad capture names its own cause.
+    iter_stats = {
+        "min_ms": round(min(iter_s) * 1000, 1),
+        "p50_ms": round(sorted(iter_s)[len(iter_s) // 2] * 1000, 1),
+        "max_ms": round(max(iter_s) * 1000, 1),
+        "drain_ms": round((time.perf_counter() - t_drain) * 1000, 1),
+    }
+    if device_only is not None and device_only > 0:
+        dev_iter_s = scenes_per_iter / device_only
+        if max(iter_s) > 5.0 * dev_iter_s:
+            print("bench: WORST-CASE GUARD — iteration(s) exceeded 5x the "
+                  f"device-only time ({dev_iter_s:.2f}s): per-iter seconds = "
+                  f"{[round(s, 2) for s in iter_s]}",
+                  file=sys.stderr, flush=True)
 
     # agent-steps/sec/chip (BASELINE.md tracked metric): valid policy agents
     # per scene x 80 closed-loop steps (8 replans x 10 Hz chunks)
@@ -462,12 +530,16 @@ def main():
     }
     if args.mode == "wosac":
         result["replicas"] = args.replicas
+    if loader_in_loop:
+        result["iter_stats"] = iter_stats
     if device_only is not None:
         result["device_only_scenes_per_sec"] = device_only
-        if bank_info:
-            result.update(bank_info)
-        result["host_ms_per_batch"] = _host_stage_breakdown(
-            ds, batch_size, config)
+        # breakdown of the transport the timed loop ACTUALLY used
+        result["host_ms_per_batch"] = (
+            _bank_stage_breakdown(bank, ds, batch_size) if bank is not None
+            else _host_stage_breakdown(ds, batch_size, config))
+    if bank_info:
+        result.update(bank_info)
     if "llm_text_OneText" in cond_types:
         # disclose the text-encoder scale: WEIGHTS_PATH unset means the
         # jitted text path runs LlamaConfig.tiny() random weights (8B

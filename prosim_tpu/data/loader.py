@@ -55,6 +55,16 @@ def safe_device_put(tree):
     return jax.device_put(tree)
 
 
+def _norm_dtype(dt):
+    """The narrowing device_put applies under disabled x64."""
+    dt = np.dtype(dt)
+    if dt == np.int64:
+        return np.dtype(np.int32)
+    if dt == np.float64:
+        return np.dtype(np.float32)
+    return dt
+
+
 def _is_scene_leaf(x) -> bool:
     """Per-scene leaves carry a leading singleton scene axis; everything else
     (None, scalars, per-batch constants like io_pairs.t_indices) is shared
@@ -88,24 +98,20 @@ class PackedTransfer:
         self.treedef = jax.tree.structure(probe)
         flat = jax.tree.leaves(probe)
 
-        def norm_dtype(dt):
-            dt = np.dtype(dt)
-            if dt == np.int64:
-                return np.dtype(np.int32)
-            if dt == np.float64:
-                return np.dtype(np.float32)
-            return dt
+        norm_dtype = _norm_dtype
 
         # layout: (leaf_index, offset, nbytes, np_dtype, shape). EVERY
         # ndarray leaf is packed — shared constants included; they're a few
         # bytes and re-shipping them beats classifying them wrongly.
         self.layout = []
         self.shapes = {}      # leaf_index -> expected host shape
+        self.dtypes = {}      # leaf_index -> packed (post-narrowing) dtype
         off = 0
         for j, x in enumerate(flat):
             if not isinstance(x, np.ndarray):
                 continue  # None / scalars pass through verbatim
             self.shapes[j] = x.shape
+            self.dtypes[j] = norm_dtype(x.dtype)
             dt = norm_dtype(x.dtype)
             nbytes = int(np.prod(x.shape)) * dt.itemsize
             # 8-byte align each leaf so bitcast reshapes stay trivial
@@ -144,8 +150,12 @@ class PackedTransfer:
         if jax.tree.structure(tree) != self.treedef:
             return False
         flat = jax.tree.leaves(tree)
+        # dtype must match the probe's post-narrowing dtype too: astype()ing
+        # an arbitrary leaf (e.g. float data into an int slot) would silently
+        # VALUE-convert where safe_device_put preserves it
         return all(
             isinstance(flat[j], np.ndarray) and flat[j].shape == shape
+            and _norm_dtype(flat[j].dtype) == self.dtypes[j]
             for j, shape in self.shapes.items()
         )
 

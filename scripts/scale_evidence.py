@@ -175,6 +175,21 @@ def main():
     npz = [f for f in os.listdir(roll_dir) if f.endswith(".npz")]
     ev["farm_scenes"] = len(npz)
     ev["farm_scenes_per_s"] = round(len(npz) / dt, 2)
+    # exactly-once coverage: worker w owns dataset rows w, w+W, w+2W, ...
+    # (deterministic index sharding, runner.py `assigned`); with per-scene
+    # output filenames, "every expected scene present, none duplicated"
+    # is the full coverage contract
+    expected = set()
+    ds_roll = ProSimImitationDataset(config, "rollout", cache_dir)
+    for w in range(args.farm_workers):
+        for idx in list(range(w, len(ds_roll), args.farm_workers))[
+                : args.farm_scenes // args.farm_workers]:
+            env, scene_name, _ = ds_roll.index[idx]
+            expected.add(f"{env}__{scene_name}.npz")
+    ev["farm_exactly_once"] = (set(npz) == expected
+                               and len(npz) == len(expected))
+    assert ev["farm_exactly_once"], (
+        f"coverage mismatch: {len(npz)} outputs vs {len(expected)} expected")
     sub = package_submission(roll_dir, os.path.join(args.workdir, "submission"))
     ev["submission"] = os.path.basename(sub)
     assert os.path.getsize(sub) > 0

@@ -34,7 +34,8 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--m", type=int, default=8, help="WOSAC rollout replicas")
-    ap.add_argument("--cond-types", default="goal", choices=["goal", "all"],
+    ap.add_argument("--cond-types", default="goal",
+                    choices=["goal", "all", "text"],
                     help="'all' trains the full promptable surface "
                          "(goal + action-tag + drag-point + LLM text, mixed "
                          "fix-mode sampling) so every Table-1 row evaluates "
@@ -46,6 +47,12 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="small arch + padding (CI/CPU smoke)")
     ap.add_argument("--out", default="runs/demo_evidence")
+    ap.add_argument("--skip-wosac", action="store_true",
+                    help="train + imitation eval only (the bow-vs-llama "
+                         "text-steering twins don't need WOSAC)")
+    ap.add_argument("--opts", nargs="*", default=[],
+                    help="extra config KEY VALUE overrides (e.g. "
+                         "MODEL.CONDITION_TRANSFORMER.TEXT_ATTN.TYPE bow)")
     args = ap.parse_args()
 
     import jax
@@ -68,6 +75,20 @@ def main():
             "PROMPT.CONDITION.RANDOM_SAMPLE.TRAIN", "True",
             "PROMPT.CONDITION.RANDOM_SAMPLE.VAL", "True",
             "PROMPT.CONDITION.SAMPLE_RATE", "0.5",
+        ]
+    elif args.cond_types == "text":
+        # text-ONLY at rate 1.0: the bow-vs-llama steering experiment
+        # (VERDICT r3/r4 task 3). Trained alongside goal/drag, text gets
+        # out-competed by geometrically explicit conditions; alone, the
+        # motion-tag content of the captions is the only conditioning signal
+        # and a flat result indicts the encoder, not the mixture.
+        cond_opts = [
+            "PROMPT.CONDITION.TYPES", "['llm_text_OneText']",
+            "PROMPT.CONDITION.SAMPLE_MODE.TRAIN", "fix",
+            "PROMPT.CONDITION.SAMPLE_MODE.VAL", "fix",
+            "PROMPT.CONDITION.RANDOM_SAMPLE.TRAIN", "True",
+            "PROMPT.CONDITION.RANDOM_SAMPLE.VAL", "True",
+            "PROMPT.CONDITION.SAMPLE_RATE", "1.0",
         ]
     else:
         cond_opts = ["PROMPT.CONDITION.TYPES", "['goal']"]
@@ -113,7 +134,7 @@ def main():
             "MODEL.DECODER.ATTN.MAX_NUM_NEIGH", "8",
             "MODEL.POLICY.ACT_DECODER.ATTN.MAX_NUM_NEIGH", "8",
         ]
-    config = get_config(opts=opts)
+    config = get_config(opts=opts + list(args.opts))
 
     os.makedirs(args.out, exist_ok=True)
     train_ds = ProSimImitationDataset(config, "train", args.cache_dir)
@@ -153,6 +174,16 @@ def main():
     roll_after = trainer.rollout_callback(batches(val_ds, val_bs, False))
     evidence["rollout_after"] = roll_after
     print("after:", json.dumps(after), flush=True)
+
+    if args.skip_wosac:
+        with open(os.path.join(args.out, "evidence.json"), "w") as f:
+            json.dump(evidence, f, indent=2, default=float)
+        print(json.dumps({k: evidence[k] for k in
+                          ("val_before", "val_after", "train_wall_s")},
+                         default=float), flush=True)
+        print("evidence ->", os.path.join(args.out, "evidence.json"),
+              flush=True)
+        return
 
     # WOSAC realism: trained vs random init vs const-vel floor
     from prosim_tpu.rollout import runner

@@ -192,3 +192,23 @@ def test_packed_transfer_matches_device_put(ds):
     tree_equal(jax.tree.map(
         lambda x: np.asarray(x).astype(np.int32)
         if np.asarray(x).dtype == np.int64 else x, part), out)
+
+
+def test_packed_transfer_dtype_mismatch_falls_back():
+    """A leaf arriving with a different (post-narrowing) dtype than the probe
+    must route through safe_device_put, not be astype()-value-converted."""
+    from prosim_tpu.data.loader import PackedTransfer
+
+    probe = {"a": np.arange(6, dtype=np.int32).reshape(2, 3),
+             "b": np.ones((2, 2), np.float32)}
+    pt = PackedTransfer(probe)
+    assert pt.matches(probe)
+    # int64 narrows to the probe's int32: still a match
+    assert pt.matches({"a": np.arange(6, dtype=np.int64).reshape(2, 3),
+                       "b": np.ones((2, 2), np.float32)})
+    # float data in the int slot: NOT a match (would value-convert)
+    bad = {"a": np.linspace(0, 1, 6, dtype=np.float32).reshape(2, 3),
+           "b": np.ones((2, 2), np.float32)}
+    assert not pt.matches(bad)
+    out = pt(bad)  # falls back to safe_device_put, values preserved
+    np.testing.assert_allclose(np.asarray(out["a"]), bad["a"])

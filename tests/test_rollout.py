@@ -292,6 +292,42 @@ def test_goal_sampler_parallel_rollout():
     assert pair_delta > 1e-4
 
 
+def test_goal_sampler_replaces_conditions_at_prompt_encoder():
+    """With 'prompt_encoder' in CONDITION_LOCATIONS (the reference default),
+    the sampler path must NOT let dataset conditions ride along through a
+    pre-replacement prompt embedding (advisor r4 medium #2): rollouts must be
+    invariant to the dataset's goal-condition contents."""
+    from prosim_tpu.models.prosim import ProSim
+    from prosim_tpu.rollout.rollout import parallel_rollout_with_sampler
+
+    cfg = get_config(opts=SMALL_OPTS + [
+        "PROMPT.CONDITION.TYPES", "['goal']",
+        "MODEL.CONDITION_TRANSFORMER.CONDITION_LOCATIONS",
+        "['prompt_encoder']",
+        "MODEL.DECODER.GOAL_PRED.ENABLE", "True",
+        "MODEL.DECODER.GOAL_PRED.K", "4",
+    ])
+    from prosim_tpu.data.synthetic import make_synthetic_batch
+
+    batch = make_synthetic_batch(
+        cfg, batch_size=1, num_lanes=16, num_obs_agents=8, num_agents=4,
+        num_replan=2,
+    )
+    model = ProSim(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    goal = batch.conditions["goal"]
+    perturbed = batch.replace(conditions={
+        "goal": goal.replace(feat=goal.feat + 40.0)})
+    outs = [
+        np.asarray(parallel_rollout_with_sampler(
+            model, params, b, 2, jax.random.PRNGKey(2), model, params,
+            top_k=2, stop_smooth=0.0)["rollout_traj"])
+        for b in (batch, perturbed)
+    ]
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
 def test_goal_heatmap_plot(tmp_path):
     """Goal-distribution heatmap (reference: visualization.py:22-115)."""
     import os

@@ -78,3 +78,25 @@ def test_bank_reuses_rows_across_seeds(ds):
 def test_bank_budget_refusal(ds):
     with pytest.raises(ValueError, match="budget"):
         DeviceSceneBank(ds, hbm_budget_bytes=1024)
+
+
+def test_cond_transport_packed_equals_tree(ds):
+    """The packed condition transport (one buffer, one RPC) must produce
+    batches bit-identical to per-leaf device_put — it is the bench's default
+    transport (VERDICT r4 task 1a) and only a wire-format change."""
+    bank = DeviceSceneBank(ds)
+    pairs = [(i % len(ds), 900 + i) for i in range(4)]
+    rows_conds = [bank.sample_conditions(i, s) for i, s in pairs]
+    rows = np.asarray([r for r, _ in rows_conds])
+    conds = [c for _, c in rows_conds]
+
+    bank.cond_transport = "tree"
+    via_tree = bank.assemble(rows, conds)
+    bank.cond_transport = "packed"
+    via_packed = bank.assemble(rows, conds)
+    tree_equal(via_tree, via_packed)
+
+    ms = bank.measure_cond_transport(
+        __import__("prosim_tpu.data.formatter", fromlist=["x"])
+        .collate_conditions(conds), reps=1)
+    assert set(ms) == {"tree", "packed"} and all(v >= 0 for v in ms.values())

@@ -162,6 +162,9 @@ def test_scene_roundtrip_exact(ingested):
     # convention the rest of the loader (ego-first reorder, ego_index) keys on
     assert scene.agent_names[0] == "ego"
     assert set(scene.agent_names) == {"101", "ego", "303"}
+    # the rename must not discard the SDC's WOMD object id: WOSAC packaging
+    # remaps 'ego' back to it (reference: gpu_utils.py:286-288)
+    assert scene.ego_object_id == 202
     assert scene.agent_types[scene.agent_names.index("303")] == 2
 
     for name in ("101", "ego", "303"):
