@@ -36,6 +36,8 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", args.devices)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     assert len(jax.devices()) == args.devices, jax.devices()
 
     import jax.numpy as jnp

@@ -39,10 +39,14 @@ def main():
     ap.add_argument("--cond-sets", nargs="*",
                     default=["uncondition", "goal_1.0"])
     ap.add_argument("--train-cond-types", default="goal",
-                    choices=["goal", "all"],
+                    choices=["goal", "all", "text"],
                     help="must match the --cond-types the checkpoint was "
                          "trained with (defines the model's condition "
                          "encoder set and hence the param tree)")
+    ap.add_argument("--opts", nargs="*", default=[],
+                    help="extra config KEY VALUE overrides; must match "
+                         "training (e.g. "
+                         "MODEL.CONDITION_TRANSFORMER.TEXT_ATTN.TYPE bow)")
     ap.add_argument("--m", type=int, default=4)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--cpu", action="store_true")
@@ -67,8 +71,9 @@ def main():
     print("checkpoint:", ckpt, flush=True)
 
     # the train config (must match training, it defines the param tree)
-    types = ("['llm_text_OneText','goal','drag_point','v_action_tag']"
-             if args.train_cond_types == "all" else "['goal']")
+    types = {"all": "['llm_text_OneText','goal','drag_point','v_action_tag']",
+             "text": "['llm_text_OneText']",
+             "goal": "['goal']"}[args.train_cond_types]
     config = get_config(opts=[
         "DATASET.SOURCE.VAL", "['waymo_train']",
         "DATASET.SOURCE.ROLLOUT", "['waymo_train']",
@@ -78,7 +83,7 @@ def main():
         # mirror them so the restored param surface matches training
         "MODEL.DECODER.GOAL_PRED.ENABLE", "True",
         "LOSS.GOAL_DIST_PRED.ENABLE", "True",
-    ])
+    ] + list(args.opts))
     params, model, _ = restore_eval_params(config, ckpt, args.cache_dir)
 
     results = {}
