@@ -120,6 +120,13 @@ def _coerce(new: Any, old: Any, key: str) -> Any:
         raise TypeError(f"type mismatch for {key}: expected bool, got {type(new)}")
     if isinstance(old, float) and isinstance(new, int):
         return float(new)
+    if isinstance(old, float) and isinstance(new, str):
+        # YAML 1.1 only floats "3.0e-4", not "3e-4" (no dot -> str); accept
+        # the common scientific-notation CLI spelling for float keys
+        try:
+            return float(new)
+        except ValueError:
+            pass
     if isinstance(old, (list, tuple)):
         if isinstance(new, (list, tuple)):
             return list(new)

@@ -61,3 +61,16 @@ def test_cond_set_config():
     assert base.is_frozen()
     # untouched keys survive
     assert base.MODEL.HIDDEN_DIM == cfg.MODEL.HIDDEN_DIM
+
+
+def test_float_key_accepts_scientific_notation_string():
+    """yaml.safe_load('3e-4') yields a STRING (YAML 1.1 wants '3.0e-4');
+    float-typed keys must still accept the common CLI spelling."""
+    from prosim_tpu.config import get_config
+
+    cfg = get_config(opts=["TRAIN.LR", "3e-4"])
+    assert cfg.TRAIN.LR == 3e-4
+    import pytest
+
+    with pytest.raises(TypeError):
+        get_config(opts=["TRAIN.LR", "not_a_number"])
