@@ -206,6 +206,10 @@ def get_default_config() -> CN:
     _C.LOSS.GOAL_DIST_PRED = CN()
     _C.LOSS.GOAL_DIST_PRED.ENABLE = False
     _C.LOSS.GOAL_DIST_PRED.WEIGHT = 1.0
+    # reference default.py:410-411: CE toward the nearest hypothesis is
+    # weighted 10x against the point huber; the spread regularizer is off
+    _C.LOSS.GOAL_DIST_PRED.CLS_WEIGHT = 10.0
+    _C.LOSS.GOAL_DIST_PRED.VAR_WEIGHT = 0.0
 
     _C.LOSS.TRAJ_CRITERION = CN()
     _C.LOSS.TRAJ_CRITERION.TYPE = "huber"

@@ -419,7 +419,10 @@ def goal_prob_pred_loss(batch, output, config):
     ent = -(p * jnp.log(p + 1e-6)).sum(-1)
     entropy = jax.lax.stop_gradient(jnp.where(mask, ent, 0.0).sum() / denom)
 
-    full = point_loss + prob_loss
+    # reference loss_func.py:602: point + CLS_WEIGHT * ce - VAR_WEIGHT * logvar
+    full = (point_loss
+            + prob_loss * config.LOSS.GOAL_DIST_PRED.CLS_WEIGHT
+            + neg_logvar * config.LOSS.GOAL_DIST_PRED.VAR_WEIGHT)
     return {
         "goal_dist_prob_loss": prob_loss,
         "goal_dist_point_loss": point_loss,

@@ -103,6 +103,14 @@ def main():
         # argmax rollout and every histogram feature collapses to a delta.
         "MODEL.DECODER.GOAL_PRED.ENABLE", "True",
         "LOSS.GOAL_DIST_PRED.ENABLE", "True",
+        # GOAL_MODEL_LR_SCALE defaults to 0.0 (reference waymo_demo.yaml:112
+        # freezes its PRE-TRAINED heads); training from scratch needs them
+        # live, and 10x base LR lets Adam reach real goal magnitudes
+        # (p90 = 50 m on the demo cache) within a few hundred steps. With the
+        # scale at 0 the heads stay at random init (~1 m outputs), every
+        # sampled goal snaps to (0,0) via stop_smooth, and all M replicas
+        # collapse to one rollout — the r3/r4 kinematic ~0 signature.
+        "LOSS.ROLLOUT_TRAJ.GOAL_MODEL_LR_SCALE", "10.0",
         *cond_opts,
         "TRAIN.LR", str(args.lr),
         "TRAIN.BATCH_SIZE", str(args.batch),

@@ -224,3 +224,47 @@ def test_rollout_callback_chunks_large_tiles(trained):
         trainer._rollout_fn = None
     for k in ("min_ade", "mean_ade", "crash_rate", "goal_reach_rate"):
         assert np.isfinite(out[k]), k
+
+
+def test_goal_head_lr_scale_controls_updates():
+    """GOAL_MODEL_LR_SCALE=0 (reference waymo_demo.yaml:112, frozen
+    pre-trained heads) must freeze goal_*_head params; a positive scale must
+    move them. The r3/r4 WOSAC kinematic collapse traced to evidence training
+    silently inheriting the 0.0 default: heads stayed at random init and every
+    sampled replica goal snapped to (0,0)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from prosim_tpu.config import get_config
+    from prosim_tpu.train.optim import build_optimizer
+
+    params = {
+        "decoder": {
+            "goal_point_head": {"w": jnp.ones((4,))},
+            "goal_prob_head": {"w": jnp.ones((4,))},
+            "trunk": {"w": jnp.ones((4,))},
+        }
+    }
+    grads = jax.tree.map(jnp.ones_like, params)
+
+    def run(scale):
+        cfg = get_config(opts=[
+            "LOSS.ROLLOUT_TRAJ.GOAL_MODEL_LR_SCALE", str(scale),
+            "TRAIN.SCHEDULER.WARMUP_STEPS", "1",
+        ])
+        opt = build_optimizer(cfg, params)
+        state = opt.init(params)
+        p = params
+        for _ in range(3):  # past the zero-LR warmup start
+            upd, state = opt.update(grads, state, p)
+            p = optax.apply_updates(p, upd)
+        return p
+
+    frozen = run(0.0)
+    live = run(10.0)
+    gp = lambda t: np.asarray(t["decoder"]["goal_point_head"]["w"])
+    trunk = lambda t: np.asarray(t["decoder"]["trunk"]["w"])
+    assert np.array_equal(gp(frozen), np.ones(4)), "scale=0 must freeze heads"
+    assert not np.array_equal(gp(live), np.ones(4)), "scale>0 must move heads"
+    assert not np.array_equal(trunk(frozen), np.ones(4)), "trunk always trains"
