@@ -108,13 +108,21 @@ class Trainer:
                     loss = float(losses["full_loss"])
                     if not np.isfinite(loss):
                         self._dump_error_batch(batch, losses)
-                    self.log({
+                    rec = {
                         "step": self.step,
                         "epoch": epoch,
                         "train/full_loss": loss,
                         "train/grad_norm": float(losses["grad_norm"]),
                         "wall": time.time() - t0,
-                    })
+                    }
+                    # full loss breakdown (goal_dist_*, per-cond rollout
+                    # losses, ...): the r5 goal-head zero-LR bug hid for two
+                    # rounds because only full_loss/grad_norm were logged
+                    for k_, v_ in losses.items():
+                        if k_ not in ("full_loss", "grad_norm") and \
+                                getattr(v_, "ndim", None) == 0:
+                            rec[f"train/{k_}"] = float(v_)
+                    self.log(rec)
                     self._improved = loss < self.best_loss
                     if self._improved:
                         self.best_loss = loss
