@@ -77,6 +77,12 @@ def main():
         "DATASET.SOURCE.VAL", "['waymo_train']",
         "DATASET.SOURCE.ROLLOUT", "['waymo_train']",
         *cond_opts,
+        # evidence checkpoints train goal heads (train_demo_evidence.py);
+        # without these the restore would drop the heads AND
+        # run_rollout_eval's goal_sampler='auto' would silently fall back to
+        # sampler-less collapsed replicas
+        "MODEL.DECODER.GOAL_PRED.ENABLE", "True",
+        "LOSS.GOAL_DIST_PRED.ENABLE", "True",
         "MODEL.DTYPE", "bfloat16",
     ])
 
