@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--workdir", default="/tmp/prosim_scale")
     ap.add_argument("--out", default="docs/evidence/train_3k.json")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--resume-run", action="store_true",
+                    help="keep an existing run dir: phase 1 fast-forwards "
+                         "from its newest checkpoint instead of retraining")
     args = ap.parse_args()
 
     import jax
@@ -62,13 +65,17 @@ def main():
         "MAX_EPOCHES", "10000",
         "CHECKPOINT_INTERVAL", "250",
         "VAL_INTERVAL", "8",
+        # the point of this harness: a FRESH Trainer must auto-resume from
+        # the newest checkpoint of the run, exactly as a restarted process
+        # would (reference: Lightning auto-resume, trainer.py:305-311)
+        "LOAD_CHECKPOINT_TRAINER", "True",
         "EXPERIMENT_DIR", args.workdir,
         "EXPERIMENT_NAME", run_name,
         "MODEL.DTYPE", "bfloat16",
         *SMALL_ARCH,
     ])
     run_dir = os.path.join(args.workdir, run_name)
-    if os.path.isdir(run_dir):
+    if os.path.isdir(run_dir) and not args.resume_run:
         import shutil
 
         shutil.rmtree(run_dir)  # a stale run would auto-resume past phase 1
@@ -92,7 +99,7 @@ def main():
     tr1 = Trainer(config)
     first = next(iter(train_ds.batches(args.batch, drop_last=True)))
     tr1.setup(first)
-    assert tr1.step == 0
+    assert args.resume_run or tr1.step == 0, tr1.step
     tr1.fit(train_stream, val_batches=val_stream, max_steps=args.resume_at)
     ev["phase1_final_step"] = tr1.step
     del tr1
